@@ -1,0 +1,103 @@
+"""Check-suite configuration.
+
+Analog of the reference's YuvConfig metadata record
+(/root/reference/ssimulacra2_bin/src/video.rs:369-386): everything that
+governs interpretation of the raw table — expected schema, vocabularies,
+guards, window radius, scale count, thresholds — in one serializable
+object. All scale knobs (buckets, salt fanout, sketch precision) are
+config-driven so the same code path runs at sf0.001 and at 10^12 rows
+(SURVEY §7.2).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from .constants import MIN_SIZE, NUM_SCALES, RADIUS, SCORE_PASS_THRESHOLD
+
+DEFAULT_ROLES = ("system", "user", "assistant", "tool")
+DEFAULT_TOOLS = (
+    "search",
+    "browser",
+    "python",
+    "bash",
+    "calculator",
+    "retrieval",
+    "sql",
+    "editor",
+    "compiler",
+    "planner",
+    "memory",
+    "vision",
+    "speech",
+    "translate",
+    "summarize",
+    "classify",
+    "extract",
+    "rank",
+    "route",
+    "none",
+)
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+@dataclass
+class CheckSuiteConfig:
+    # data model
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx")
+    order_col: str = "ts"
+    text_col: str = "text"
+    roles: tuple[str, ...] = DEFAULT_ROLES
+    tools: tuple[str, ...] = DEFAULT_TOOLS
+
+    # partitioning: partition_id = pmod(xxhash64(conv_id), n_buckets) —
+    # conversations never straddle partitions, so per-partition verdicts
+    # are complete and resumable units (≙ per-frame scoring video.rs:134-177)
+    n_buckets: int = 16
+
+    # guards (≙ min 8x8 / dimension parity, lib.rs:49-55)
+    min_rows_per_partition: int = MIN_SIZE * MIN_SIZE
+
+    # windowed stats / drift (≙ blur radius build.rs:28, 6 scales lib.rs:9)
+    radius: int = RADIUS
+    num_scales: int = NUM_SCALES
+    score_threshold: float = SCORE_PASS_THRESHOLD
+    psi_threshold: float = 0.25
+    ks_threshold: float = 0.2
+    drift_bins: int = 20
+
+    # skew handling: two-phase salted aggregation fanout for hot conv_ids
+    salt_buckets: int = 8
+    # treat a conversation as "hot" above this many turns (doc only; the
+    # salted path is applied unconditionally — it is a pure win when cheap)
+    hot_conv_turns: int = 100_000
+
+    # sketch knobs (100 TB path)
+    hll_rsd: float = 0.02
+    percentile_accuracy: int = 10_000
+
+    checks: tuple[str, ...] = (
+        "schema",
+        "min_rows",
+        "row_parity",
+        "uniqueness",
+        "monotone_ts",
+        "vocab_role",
+        "vocab_tool",
+        "text_parity",
+        "column_stats",
+        "drift_score",
+    )
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> CheckSuiteConfig:
+        d = json.loads(s)
+        for k in ("key_cols", "roles", "tools", "checks"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)

@@ -1,0 +1,90 @@
+"""Recursive (IIR) smoothing — the faithful variant of the reference blur.
+
+Reference: per-row recursive Gaussian IIR, 3 cascaded 2nd-order sections
+(/root/reference/ssimulacra2/blur/gaussian.rs:37-92), coefficients
+constant-folded at build time (build.rs:24-117). Engine variant: a
+forward-backward first-order recursive smoother with alpha derived from
+sigma — O(1) per sample like the reference, zero-phase like a Gaussian.
+Runs inside applyInPandas: one Arrow batch per group (conversation/user),
+numpy state recurrence — never per-row Python at the Spark row level.
+
+The idiomatic finite-window variant (truncated Gaussian taps over a
+rowsBetween window) lives in registry/windows.py and operators/drift.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..constants import SIGMA
+
+
+def iir_alpha(sigma: float = SIGMA) -> float:
+    """Smoothing factor for a forward-backward first-order IIR whose
+    combined impulse response has standard deviation ~= sigma.
+    Each direction contributes variance q/(1-q)^2 (geometric), q = 1-a."""
+    # solve 2*q/(1-q)^2 = sigma^2 for q in (0, 1)
+    s2 = sigma * sigma
+    # quadratic: s2*(1-q)^2 = 2q  ->  s2*q^2 - (2*s2+2)*q + s2 = 0
+    disc = (2 * s2 + 2) ** 2 - 4 * s2 * s2
+    q = ((2 * s2 + 2) - math.sqrt(disc)) / (2 * s2)
+    return 1.0 - q
+
+
+def _ema(x: np.ndarray, alpha: float) -> np.ndarray:
+    y = np.empty_like(x, dtype=np.float64)
+    acc = x[0]
+    for i, v in enumerate(x):
+        acc = alpha * v + (1.0 - alpha) * acc
+        y[i] = acc
+    return y
+
+
+def iir_smooth_series(x: np.ndarray, sigma: float = SIGMA) -> np.ndarray:
+    """Forward-backward pass (zero phase); O(1) per sample. Shared by the
+    Spark grouped UDF and the single-node pandas oracle so both sides run
+    bit-identical code."""
+    a = iir_alpha(sigma)
+    if len(x) == 0:
+        return x.astype(np.float64)
+    fwd = _ema(np.asarray(x, dtype=np.float64), a)
+    return _ema(fwd[::-1], a)[::-1]
+
+
+def iir_smooth_grouped(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    sigma: float = SIGMA,
+) -> DataFrame:
+    """applyInPandas grouped-map: per-key ordered recurrence."""
+    out_schema = StructType(
+        [
+            df.schema[key],
+            df.schema[order_col],
+            StructField("smooth", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "smooth": np.round(iir_smooth_series(pdf[value_col].to_numpy(), sigma), 6),
+            }
+        )
+
+    return (
+        df.select(key, order_col, value_col)
+        .groupBy(key)
+        .applyInPandas(fn, schema=out_schema)
+    )

@@ -1,0 +1,340 @@
+"""Structural / integrity / parity checks over transcript snapshot pairs.
+
+Every check consumes (ref, cand) transcript DataFrames (schema
+config.TRANSCRIPT_COLUMNS) and produces violation rows in ONE canonical
+schema plus per-partition verdict rows. The reference analog of each check
+is cited inline; the reference *raises* typed errors
+(/root/reference/ssimulacra2/src/lib.rs:13-28) — this engine materializes
+verdict/violation rows instead, with full lineage (partition id, check id,
+offending keys).
+
+Scale notes (100 TB):
+- partition_id is pmod(xxhash64(conv_id), n_buckets): conversations never
+  straddle partitions; every check aggregates within the same bucketing,
+  so one repartition(partition_id) feeds all per-partition aggs.
+- all counts are map-side-combinable; the paired join is an equi-join on
+  (conv_id, turn_idx) which AQE plans as sort-merge with skew splitting.
+- per-conversation aggregates go through a salted two-phase agg
+  (salted_conv_agg) so a single 10^8-turn conversation cannot stall one
+  reducer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..config import CheckSuiteConfig
+
+VIOLATION_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("check_id", StringType()),
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("class", StringType()),  # added | missing | mismatch | invalid
+        StructField("observed", StringType()),
+        StructField("expected", StringType()),
+    ]
+)
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("check_id", StringType()),
+        StructField("passed", BooleanType()),
+        StructField("n_violations", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def with_partition_id(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """Stable hash bucketing of conversations (the engine's unit of
+    parallel verdicting, ≙ frame index video.rs:134-177)."""
+    return df.withColumn(
+        "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int")
+    )
+
+
+def _viol(df: DataFrame, check_id: str, cls, observed, expected) -> DataFrame:
+    """Project any keyed DataFrame into the canonical violation schema."""
+    return df.select(
+        F.col("partition_id").cast("int"),
+        F.lit(check_id).alias("check_id"),
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("int"),
+        cls.cast("string").alias("class"),
+        observed.cast("string").alias("observed"),
+        expected.cast("string").alias("expected"),
+    )
+
+
+def partition_counts(df: DataFrame) -> DataFrame:
+    return df.groupBy("partition_id").agg(F.count("*").alias("n_rows"))
+
+
+def verdict_from_violations(
+    partitions: DataFrame, violations: DataFrame, check_id: str
+) -> DataFrame:
+    """Generic verdict: a partition passes iff it produced no violations.
+    `partitions` must have one row per partition_id (the full universe, so
+    clean partitions still get an explicit PASS row)."""
+    counts = violations.groupBy("partition_id").agg(F.count("*").alias("n_violations"))
+    return (
+        partitions.select("partition_id")
+        .join(counts, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int"),
+            F.lit(check_id).alias("check_id"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
+
+
+@dataclass
+class CheckOutput:
+    verdicts: DataFrame
+    violations: DataFrame | None = None
+    metrics: DataFrame | None = None
+
+
+# --------------------------------------------------------------------------
+# Schema check (driver-side; ≙ conversion/shape guard lib.rs:41-47)
+# --------------------------------------------------------------------------
+
+
+def schema_check(spark, ref: DataFrame, cand: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+    from ..config import TRANSCRIPT_COLUMNS
+
+    problems = []
+    for side, df in (("ref", ref), ("cand", cand)):
+        have = set(df.columns)
+        for c in TRANSCRIPT_COLUMNS:
+            if c not in have:
+                problems.append((side, c))
+    passed = not problems
+    verdicts = spark.createDataFrame(
+        [(-1, "schema", passed, len(problems), None)], schema=VERDICT_SCHEMA
+    )
+    return CheckOutput(verdicts=verdicts)
+
+
+# --------------------------------------------------------------------------
+# Volume guards (≙ InvalidImageSize lib.rs:53-55; dim parity lib.rs:49-51)
+# --------------------------------------------------------------------------
+
+
+def min_rows_check(ref_parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+    v = ref_parts.select(
+        F.col("partition_id").cast("int"),
+        F.lit("min_rows").alias("check_id"),
+        (F.col("n_rows") >= cfg.min_rows_per_partition).alias("passed"),
+        F.when(
+            F.col("n_rows") >= cfg.min_rows_per_partition, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_violations"),
+        F.col("n_rows").cast("double").alias("score"),
+    )
+    return CheckOutput(verdicts=v)
+
+
+def row_parity_check(
+    ref_parts: DataFrame, cand_parts: DataFrame, cfg: CheckSuiteConfig
+) -> CheckOutput:
+    j = (
+        ref_parts.withColumnRenamed("n_rows", "n_ref")
+        .join(cand_parts.withColumnRenamed("n_rows", "n_cand"), "partition_id", "full_outer")
+        .fillna(0, ["n_ref", "n_cand"])
+    )
+    v = j.select(
+        F.col("partition_id").cast("int"),
+        F.lit("row_parity").alias("check_id"),
+        (F.col("n_ref") == F.col("n_cand")).alias("passed"),
+        F.abs(F.col("n_ref") - F.col("n_cand")).cast("long").alias("n_violations"),
+        (F.col("n_cand") - F.col("n_ref")).cast("double").alias("score"),
+    )
+    return CheckOutput(verdicts=v)
+
+
+# --------------------------------------------------------------------------
+# Uniqueness of (conv_id, turn_idx) (≙ unique frame claim video.rs:159-161)
+# --------------------------------------------------------------------------
+
+
+def uniqueness_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+    """groupBy the full key. The key is fine-grained (turn-level), so the
+    shuffle is uniform by construction — Spark's partial aggregation is the
+    'salt' here; the salted path is needed only for conv-level aggs."""
+    dups = (
+        cand.groupBy("partition_id", "conv_id", "turn_idx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    violations = _viol(
+        dups,
+        "uniqueness",
+        cls=F.lit("invalid"),
+        observed=F.concat(F.lit("count="), F.col("n")),
+        expected=F.lit("count=1"),
+    )
+    return CheckOutput(
+        verdicts=verdict_from_violations(parts, violations, "uniqueness"),
+        violations=violations,
+    )
+
+
+# --------------------------------------------------------------------------
+# Monotone ordering (≙ strictly increasing frame index video.rs:159-161;
+# ordered stateful scans gaussian.rs:46-91)
+# --------------------------------------------------------------------------
+
+
+def monotone_ts_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = cand.select(
+        "partition_id",
+        "conv_id",
+        "turn_idx",
+        F.col(cfg.order_col).alias("ts_"),
+        F.lag(cfg.order_col).over(w).alias("prev_ts"),
+    )
+    bad = lagged.filter(F.col("ts_") < F.col("prev_ts"))
+    violations = _viol(
+        bad,
+        "monotone_ts",
+        cls=F.lit("invalid"),
+        observed=F.col("ts_"),
+        expected=F.concat(F.lit(">= "), F.col("prev_ts")),
+    )
+    return CheckOutput(
+        verdicts=verdict_from_violations(parts, violations, "monotone_ts"),
+        violations=violations,
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary referential integrity (≙ enum parsers video.rs:565-655)
+# --------------------------------------------------------------------------
+
+
+def vocab_check(
+    cand: DataFrame,
+    parts: DataFrame,
+    cfg: CheckSuiteConfig,
+    column: str,
+    vocab: tuple[str, ...],
+    nullable: bool,
+) -> CheckOutput:
+    spark = cand.sparkSession
+    check_id = f"vocab_{column}"
+    dim = spark.createDataFrame([(v,) for v in vocab], [column])
+    bad = cand.join(F.broadcast(dim), column, "left_anti")
+    if nullable:
+        bad = bad.filter(F.col(column).isNotNull())
+    violations = _viol(
+        bad,
+        check_id,
+        cls=F.lit("invalid"),
+        observed=F.col(column),
+        expected=F.lit(f"in dim_{column}s"),
+    )
+    return CheckOutput(
+        verdicts=verdict_from_violations(parts, violations, check_id),
+        violations=violations,
+    )
+
+
+# --------------------------------------------------------------------------
+# Paired text parity (THE per-row invariant; ≙ elementwise zip of aligned
+# planes lib.rs:157-163 + added/missing split lib.rs:281-289)
+# --------------------------------------------------------------------------
+
+
+def text_parity_check(
+    ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
+) -> CheckOutput:
+    """Full-outer equi-join on (conv_id, turn_idx).
+
+    Scale path: project to (keys, xxhash64(text), prefix) BEFORE the join —
+    the shuffle then moves 16-byte hashes, not payloads; AQE handles skewed
+    conversations (single conv_id never skews since turn_idx spreads keys).
+    """
+    t = cfg.text_col
+    r = ref.select(
+        "partition_id",
+        "conv_id",
+        "turn_idx",
+        F.xxhash64(t).alias("ref_h"),
+        F.substring(F.col(t), 1, 48).alias("ref_p"),
+    )
+    c = cand.select(
+        "conv_id",
+        "turn_idx",
+        F.xxhash64(t).alias("cand_h"),
+        F.substring(F.col(t), 1, 48).alias("cand_p"),
+    )
+    j = r.join(c, ["conv_id", "turn_idx"], "full_outer")
+    # rows from the cand-only side lost partition_id in the outer join —
+    # recompute from conv_id (cheap hash, no extra shuffle)
+    j = j.withColumn(
+        "partition_id",
+        F.coalesce(
+            F.col("partition_id"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
+        ),
+    )
+    cls = (
+        F.when(F.col("ref_h").isNull(), F.lit("added"))
+        .when(F.col("cand_h").isNull(), F.lit("missing"))
+        .when(F.col("ref_h") != F.col("cand_h"), F.lit("mismatch"))
+    )
+    bad = j.withColumn("cls", cls).filter(F.col("cls").isNotNull())
+    violations = _viol(
+        bad,
+        "text_parity",
+        cls=F.col("cls"),
+        observed=F.col("cand_p"),
+        expected=F.col("ref_p"),
+    )
+    return CheckOutput(
+        verdicts=verdict_from_violations(parts, violations, "text_parity"),
+        violations=violations,
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase conversation aggregation (north-rule skew handling)
+# --------------------------------------------------------------------------
+
+
+def salted_conv_agg(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """Per-conversation row counts via two-phase aggregation: phase 1 groups
+    on (conv_id, salt) — a hot conversation's rows split across
+    salt_buckets reducers — phase 2 merges the partials. Output:
+    (partition_id, conv_id, n_turns, max_turn_idx)."""
+    salt = F.pmod(F.xxhash64("turn_idx", cfg.order_col), F.lit(cfg.salt_buckets))
+    phase1 = (
+        df.withColumn("salt", salt)
+        .groupBy("partition_id", "conv_id", "salt")
+        .agg(F.count("*").alias("pn"), F.max("turn_idx").alias("pm"))
+    )
+    return phase1.groupBy("partition_id", "conv_id").agg(
+        F.sum("pn").alias("n_turns"), F.max("pm").alias("max_turn_idx")
+    )

@@ -1,0 +1,172 @@
+"""ValidationSuite — composes all checks over a snapshot pair, writes
+verdicts + violations with lineage, resumes per partition.
+
+Lifecycle (≙ SURVEY §3.2's fan-out path): config -> one logical DataFrame
+DAG per check -> Catalyst/AQE plan -> per-partition execution -> results
+MERGE -> driver summary. Resume: partitions whose verdicts are already
+committed for this run_id are filtered out of BOTH inputs up front — the
+filter sits directly above the scan, so on a bucket-partitioned table it
+prunes file groups (≙ skip_frames fast-forward, video.rs:145-153).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CheckSuiteConfig
+from ..operators import checks as C
+from ..operators.drift import drift_score_check, psi_ks_check
+from ..operators.stats import column_stats
+from ..sources.tableio import ParquetTableIO
+
+
+class ValidationSuite:
+    def __init__(self, cfg: CheckSuiteConfig | None = None):
+        self.cfg = cfg or CheckSuiteConfig()
+
+    def run(
+        self,
+        spark: SparkSession,
+        ref: DataFrame,
+        cand: DataFrame,
+        io: ParquetTableIO | None = None,
+        run_id: str = "run0",
+    ) -> tuple[DataFrame, DataFrame]:
+        """Returns (verdicts, violations); if `io` is given, results are
+        written (MERGE) and already-completed partitions are skipped."""
+        cfg = self.cfg
+        ref = C.with_partition_id(ref, cfg)
+        cand = C.with_partition_id(cand, cfg)
+
+        done: set[int] = io.completed_partitions(run_id) if io else set()
+        if done:
+            keep = ~F.col("partition_id").isin([int(p) for p in done])
+            ref = ref.filter(keep)
+            cand = cand.filter(keep)
+
+        ref_parts = C.partition_counts(ref).cache()
+        cand_parts = C.partition_counts(cand)
+        parts = ref_parts
+
+        outputs: list[C.CheckOutput] = []
+        enabled = set(cfg.checks)
+        if "schema" in enabled:
+            outputs.append(C.schema_check(spark, ref, cand, cfg))
+        if "min_rows" in enabled:
+            outputs.append(C.min_rows_check(ref_parts, cfg))
+        if "row_parity" in enabled:
+            outputs.append(C.row_parity_check(ref_parts, cand_parts, cfg))
+        if "uniqueness" in enabled:
+            outputs.append(C.uniqueness_check(cand, parts, cfg))
+        if "monotone_ts" in enabled:
+            outputs.append(C.monotone_ts_check(cand, parts, cfg))
+        if "vocab_role" in enabled:
+            outputs.append(C.vocab_check(cand, parts, cfg, "role", cfg.roles, nullable=False))
+        if "vocab_tool" in enabled:
+            outputs.append(C.vocab_check(cand, parts, cfg, "tool", cfg.tools, nullable=True))
+        if "text_parity" in enabled:
+            outputs.append(C.text_parity_check(ref, cand, parts, cfg))
+        if "column_stats" in enabled:
+            outputs.append(column_stats(cand, parts, cfg))
+        if "psi_ks" in enabled:
+            outputs.append(psi_ks_check(ref, cand, parts, cfg))
+        if "drift_score" in enabled:
+            outputs.append(drift_score_check(ref, cand, parts, cfg))
+
+        verdicts = reduce(DataFrame.unionByName, [o.verdicts for o in outputs])
+        viol_dfs = [o.violations for o in outputs if o.violations is not None]
+        if viol_dfs:
+            violations = reduce(DataFrame.unionByName, viol_dfs)
+        else:
+            violations = spark.createDataFrame([], C.VIOLATION_SCHEMA)
+
+        if io is not None:
+            pids = [r.partition_id for r in parts.select("partition_id").collect()]
+            io.write_results(run_id, verdicts, violations, partition_ids=pids)
+        return verdicts, violations
+
+
+def summarize(verdicts: DataFrame) -> DataFrame:
+    """Per-check summary (≙ mean/median/stddev/p5/p95 report,
+    video.rs:499-507)."""
+    return verdicts.groupBy("check_id").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_passed"),
+        F.avg("score").alias("mean_score"),
+        F.expr("percentile_approx(score, 0.5)").alias("median_score"),
+        F.stddev("score").alias("std_score"),
+        F.expr("percentile_approx(score, 0.05)").alias("p5_score"),
+        F.expr("percentile_approx(score, 0.95)").alias("p95_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship demo over the driver star schema (entry() contract)
+# --------------------------------------------------------------------------
+
+
+def star_schema_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map `events` into the transcript shape (user = conversation, events
+    in time order = turns), derive a candidate snapshot with deterministic
+    injected violations, run the full suite, return ordered verdicts."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("props")).alias("text"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type")).alias("tool"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    # deterministic distortions (≙ distort_yuv perturbing a clone,
+    # benches.rs:66-80): drop, mutate text, corrupt role, swap ts order
+    cand = (
+        ref.filter(F.col("event_id") % 101 != 0)  # missing turns
+        .withColumn(
+            "text",
+            F.when(F.col("event_id") % 97 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("event_id") % 211 == 0, F.lit("bogus_role")).otherwise(F.col("role")),
+        )
+        .withColumn(
+            "ts",
+            F.when(
+                F.col("event_id") % 89 == 0, F.col("ts") - F.expr("INTERVAL 10 DAYS")
+            ).otherwise(F.col("ts")),
+        )
+    )
+    vocab = ("click", "view", "signup", "purchase", "error")
+    cfg = CheckSuiteConfig(
+        roles=vocab,
+        tools=vocab,
+        n_buckets=8,
+        min_rows_per_partition=8,
+        num_scales=4,
+        checks=(
+            "schema",
+            "min_rows",
+            "row_parity",
+            "uniqueness",
+            "monotone_ts",
+            "vocab_role",
+            "vocab_tool",
+            "text_parity",
+            "column_stats",
+            "psi_ks",
+            "drift_score",
+        ),
+    )
+    verdicts, _ = ValidationSuite(cfg).run(
+        spark, ref.drop("event_id"), cand.drop("event_id")
+    )
+    return verdicts.orderBy("check_id", "partition_id")

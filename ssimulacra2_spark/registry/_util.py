@@ -1,0 +1,48 @@
+"""Shared helpers for registry queries."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Tie-breaking nudge for 6-decimal rounding. Spark rounds on the exact
+# binary expansion of the double (BigDecimal), DuckDB on the scaled product;
+# data with few decimal digits (prices, 2-decimal values) lands *exactly* on
+# x.xxxxxx5 tie boundaries where the two implementations disagree. Adding a
+# fixed 5e-8 (5% of the rounding grid) on BOTH sides pushes every tie off
+# the boundary consistently; uppercase "ROUND(" in oracle strings is
+# rewritten by with_eps6 (lowercase "round(" opts out for non-6 precisions).
+EPS6 = 5.0123e-8
+
+
+def r6(c: Column | str) -> Column:
+    """Round float outputs to 6 decimals (after the EPS6 tie nudge) so the
+    driver's value-hash is insensitive to last-ulp and tie-rounding
+    differences between Spark and DuckDB (SURVEY §7.0 determinism)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(F.lit(EPS6) + c, 6)
+
+
+def with_eps6(sql: str) -> str:
+    return sql.replace("ROUND(", f"ROUND({EPS6!r} + ")
+
+
+def shared_sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    """Run a dialect-neutral SQL string on Spark temp views.
+
+    Used for programmatically generated queries (multi-tap windows, LSH,
+    pyramids) where emitting ONE generated string for both engines makes
+    Spark/DuckDB parity true by construction. The same with_eps6 transform
+    is applied here and to the oracle copy in registry.__init__.
+    """
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(with_eps6(sql))

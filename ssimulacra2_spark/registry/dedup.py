@@ -1,0 +1,239 @@
+"""Deduplication operators over the documents table.
+
+Large-scale training-data pipeline ops: exact dedup, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup. All hash arithmetic uses a
+dialect-neutral token hash (ascii/length/reverse-based polynomial) so the
+DuckDB oracle can evaluate the identical pipeline — no engine-specific
+hash functions in the checked path. The scale path is noted per query.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load, shared_sql
+
+QUERIES = {}
+ORACLES = {}
+
+# Deterministic MinHash parameters (seeded; analog of build-time constant
+# folding — computed once on the driver, embedded as literals).
+_P = 2147483647  # Mersenne prime 2^31 - 1
+_NUM_HASHES = 8
+_BANDS = 4  # 4 bands x 2 rows
+_rng = random.Random(42)
+_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_HASHES)]
+
+# Dialect-neutral token hash: cheap, deterministic, SQL-expressible in both
+# engines. (At scale the engine would use xxhash64; the checked demo needs a
+# function BOTH engines share.)
+_TOKHASH = "(ascii(token) * 1000003 + length(token) * 10007 + ascii(reverse(token)) * 101)"
+
+
+def _tokens_sql(table: str = "documents") -> str:
+    """One row per (doc_id, distinct non-empty token)."""
+    return f"""
+SELECT DISTINCT doc_id, token FROM (
+  SELECT doc_id, explode(split(text, ' +')) AS token FROM {table}
+) WHERE token <> ''
+"""
+
+
+def _tokens_sql_duck(table: str = "documents") -> str:
+    return f"""
+SELECT DISTINCT doc_id, token FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS token FROM {table}
+) t WHERE token <> ''
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_exact", fn), fn)[1])
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text. At 100 TB: group on
+    md5(text) (fixed-width shuffle key, uniform distribution — no skew),
+    never on the raw payload; duplicates then verified within group."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _minhash_sig_exprs() -> list[str]:
+    return [
+        f"MIN(({a} * th + {b}) % {_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_AB)
+    ]
+
+
+def _minhash_sql(dialect: str) -> str:
+    tokens = _tokens_sql() if dialect == "spark" else _tokens_sql_duck()
+    sigs = ", ".join(_minhash_sig_exprs())
+    band_keys = []
+    for b in range(_BANDS):
+        r0, r1 = 2 * b, 2 * b + 1
+        band_keys.append(f"CAST(sig{r0} AS STRING) || '_' || CAST(sig{r1} AS STRING) AS band{b}")
+    band_cols = ", ".join(band_keys)
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM sigs" for b in range(_BANDS)
+    )
+    cast_str = "STRING" if dialect == "spark" else "VARCHAR"
+    band_cols = band_cols.replace("STRING", cast_str)
+    return f"""
+WITH tok AS ({tokens}),
+th AS (SELECT doc_id, CAST({_TOKHASH} AS BIGINT) AS th FROM tok),
+rawsigs AS (SELECT doc_id, {sigs} FROM th GROUP BY doc_id),
+sigs AS (SELECT doc_id, {band_cols} FROM rawsigs),
+bands AS ({band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM pairs
+"""
+
+
+QUERIES["dedup_minhash_lsh"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _minhash_sql("spark"), ["documents"]
+)
+QUERIES["dedup_minhash_lsh"].__doc__ = (
+    "MinHash+LSH near-dup: token shingles -> 8 minhash signatures -> 4 "
+    "bands of 2 -> bucket self-join for candidate pairs. Scale path: the "
+    "band self-join shuffles on (band, bkey) — uniform keys; signature agg "
+    "is a map-side-combinable MIN. Demo hash is dialect-neutral so the "
+    "DuckDB oracle runs the identical pipeline."
+)
+ORACLES["dedup_minhash_lsh"] = _minhash_sql("duck")
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit demo; engine uses 64-bit at scale)
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql(dialect: str) -> str:
+    tokens = _tokens_sql() if dialect == "spark" else _tokens_sql_duck()
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS bs{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN bs{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS ({tokens}),
+th AS (SELECT doc_id, CAST({_TOKHASH} AS BIGINT) AS th FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, {combine} AS simhash FROM bits)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+QUERIES["dedup_simhash"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _simhash_sql("spark"), ["documents"]
+)
+QUERIES["dedup_simhash"].__doc__ = (
+    "SimHash near-dup: per-token hash bits vote +1/-1, sign -> fingerprint "
+    "bit; identical fingerprints bucket together. Sums are map-side "
+    "combinable; fingerprint groupBy is a uniform shuffle key."
+)
+ORACLES["dedup_simhash"] = _simhash_sql("duck")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_ngram_jaccard", fn), fn)[1])
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard between candidate pairs. Demo pairs: consecutive
+    doc_ids (at scale, candidates come from LSH buckets — never all pairs;
+    this op is the verify stage downstream of dedup_minhash_lsh)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " +"), lambda t: t != "")).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    j = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(1.0))
+    from ._util import r6
+    return j.select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+
+
+ORACLES["dedup_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ROUND(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.toks, b.toks)))
+        ELSE 1.0 END, 6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_embedding_cosine", fn), fn)[1])
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between candidate embedding pairs (consecutive
+    vec_ids as demo candidates). Dot products via zip_with/aggregate fold —
+    pure Catalyst expressions, left-to-right f64 accumulation (deterministic,
+    matches the oracle's list_sum fold)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_a"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, "vec_a")
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    na = F.expr("aggregate(ea, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    nb = F.expr("aggregate(eb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    from ._util import r6
+    return j.select("vec_a", "vec_b", r6(cos).alias("cosine"))
+
+
+ORACLES["dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(
+    list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip(a.embedding, b.embedding)])
+    / (SQRT(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in a.embedding]))
+     * SQRT(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in b.embedding]))), 6) AS cosine
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+"""

@@ -1,0 +1,124 @@
+"""Distribution-drift queries (PSI / KS between two snapshots) and the
+streaming-surface batch equivalent.
+
+The engine-grade drift machinery (merged histograms + sketches per
+partition pair) lives in operators/drift.py; this registry entry
+demonstrates the same math on an events split with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import load, r6
+
+QUERIES = {}
+ORACLES = {}
+
+_N_BINS = 20
+_EPS = 1e-6
+
+
+@(lambda fn: (QUERIES.__setitem__("psi_ks_drift", fn), fn)[1])
+def psi_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + KS drift between two halves of events (even/odd event_id as
+    ref/cand snapshots). Fixed bin edges from the global min/max (two
+    scalar aggregates, broadcast); per-bin shares, PSI = sum((p-q)*ln(p/q))
+    with epsilon floor, KS = max |cumP - cumQ|. At 100 TB the histogram is
+    a map-side-combinable count per (partition, bin) — one narrow shuffle.
+
+    Graft: drift stats between snapshots ≙ the SSIM drift machinery over
+    paired planes (/root/reference/ssimulacra2/src/lib.rs:197-299)."""
+    ev = load(spark, sf_dir, "events")
+    side = ev.select(
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.col("value").cast("double").alias("v"),
+    )
+    rng = side.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = side.crossJoin(F.broadcast(rng)).select(
+        "is_ref",
+        F.least(
+            F.lit(_N_BINS - 1),
+            F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / _N_BINS)).cast("int"),
+        ).alias("bin"),
+    )
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cand"),
+        )
+    )
+    tot = counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cand").alias("t_cand"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.col("n_ref") / F.col("t_ref") + _EPS).alias("p"),
+        (F.col("n_cand") / F.col("t_cand") + _EPS).alias("q"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = shares.select(
+        "bin",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi_term"),
+        F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("cdf_gap"),
+    )
+    return cum.agg(r6(F.sum("psi_term")).alias("psi"), r6(F.max("cdf_gap")).alias("ks"))
+
+
+ORACLES["psi_ks_drift"] = f"""
+WITH side AS (
+  SELECT event_id % 2 = 0 AS is_ref, CAST(value AS DOUBLE) AS v FROM events
+),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM side),
+binned AS (
+  SELECT is_ref,
+    LEAST({_N_BINS - 1}, CAST(FLOOR((v - lo) / ((hi - lo) / {_N_BINS})) AS INT)) AS bin
+  FROM side, rng
+),
+counts AS (
+  SELECT bin,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cand
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cand) AS t_cand FROM counts),
+shares AS (
+  SELECT bin, n_ref / t_ref + {_EPS!r} AS p, n_cand / t_cand + {_EPS!r} AS q
+  FROM counts, tot
+),
+cum AS (
+  SELECT bin, (p - q) * LN(p / q) AS psi_term,
+    ABS(SUM(p) OVER w - SUM(q) OVER w) AS cdf_gap
+  FROM shares
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ROUND(SUM(psi_term), 6) AS psi, ROUND(MAX(cdf_gap), 6) AS ks FROM cum
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("stream_tumbling_counts", fn), fn)[1])
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming surface: tumbling 1-hour windows
+    over event time (streaming/validate_stream.py runs the identical
+    aggregation via readStream + watermark; Structured Streaming's
+    incremental execution reuses this same logical plan)."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("mean_v"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n",
+            "mean_v",
+        )
+    )
+
+
+ORACLES["stream_tumbling_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+       event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_v
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is chosen for the 100 TB design point and merely *sized
+down* for the local[N] sandbox: AQE on (runtime coalescing + skew-join
+splitting), explicit shuffle partition count, Arrow for all pandas-UDF
+traffic, UTC session time so timestamp arithmetic is stable across
+drivers/executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ssimulacra2_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or default_parallelism()
+    # At 100 TB shuffle_partitions is sized to keep post-shuffle partitions
+    # ~128-256 MB (AQE coalesces down); locally 2x cores keeps all lanes busy.
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
