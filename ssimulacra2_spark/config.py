@@ -63,6 +63,10 @@ class CheckSuiteConfig:
     # windowed stats / drift (≙ blur radius build.rs:28, 6 scales lib.rs:9)
     radius: int = RADIUS
     num_scales: int = NUM_SCALES
+    # feature channels for the drift score (≙ the 3 Xyb planes). 'hash'
+    # uses Spark's xxhash64 — exclude it when pinning against the
+    # pure-pandas oracle, which cannot reproduce that hash
+    channels: tuple[str, ...] = ("len", "tok", "hash")
     score_threshold: float = SCORE_PASS_THRESHOLD
     psi_threshold: float = 0.25
     ks_threshold: float = 0.2
@@ -97,7 +101,7 @@ class CheckSuiteConfig:
     @classmethod
     def from_json(cls, s: str) -> CheckSuiteConfig:
         d = json.loads(s)
-        for k in ("key_cols", "roles", "tools", "checks"):
+        for k in ("key_cols", "roles", "tools", "checks", "channels"):
             if k in d:
                 d[k] = tuple(d[k])
         return cls(**d)

@@ -60,18 +60,20 @@ MAPS = ("ssim", "artifact", "detail")
 NORMS = ("l1", "l4")
 
 
-def default_weights() -> list[tuple[str, int, str, str, float]]:
+def default_weights(
+    channels: tuple[str, ...] = CHANNELS, num_scales: int = NUM_SCALES
+) -> list[tuple[str, int, str, str, float]]:
     """Rows (channel, scale, map, norm, weight); weights sum to 1."""
     rows = []
     raw = []
-    for ci, ch in enumerate(CHANNELS):
-        for scale in range(NUM_SCALES):
+    for ci, ch in enumerate(channels):
+        for scale in range(num_scales):
             for m in MAPS:
                 for norm in NORMS:
                     w = (1.0 + scale) * (2.0 if norm == "l4" else 1.0)
                     if m == "ssim":
                         w *= 2.0
-                    if ci == 0:  # length channel carries most drift signal
+                    if ch == "len":  # length channel carries most drift signal
                         w *= 1.5
                     raw.append((ch, scale, m, norm, w))
     total = sum(r[-1] for r in raw)

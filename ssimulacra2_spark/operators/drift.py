@@ -41,21 +41,23 @@ def featurize(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     expressions, ≙ xyb_to_planar lib.rs:137-155). Long format:
     (partition_id, conv_id, turn_idx, channel, v), v in ~[0, 1]."""
     t = F.coalesce(F.col(cfg.text_col), F.lit(""))
-    ch_len = F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0
-    ch_tok = F.least(F.size(F.split(t, " +")), F.lit(512)).cast("double") / 512.0
-    ch_hash = F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0
+    exprs = {
+        "len": F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0,
+        "tok": F.least(F.size(F.split(t, " +")), F.lit(512)).cast("double") / 512.0,
+        "hash": F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0,
+    }
+    chans = list(cfg.channels)
+    stack_args = ", ".join(f"'{c}', ch_{c}" for c in chans)
     return df.select(
         "partition_id",
         "conv_id",
         "turn_idx",
-        ch_len.alias("ch_len"),
-        ch_tok.alias("ch_tok"),
-        ch_hash.alias("ch_hash"),
+        *[exprs[c].alias(f"ch_{c}") for c in chans],
     ).selectExpr(
         "partition_id",
         "conv_id",
         "turn_idx",
-        "stack(3, 'len', ch_len, 'tok', ch_tok, 'hash', ch_hash) AS (channel, v)",
+        f"stack({len(chans)}, {stack_args}) AS (channel, v)",
     )
 
 
@@ -216,8 +218,13 @@ def scale_metrics(moments: DataFrame, scale: int) -> DataFrame:
 def calibrated_score(metrics: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     """Broadcast-weighted 108-term reduce + nonlinear calibration
     (lib.rs:344-487). Returns (partition_id, score)."""
+    from ..constants import default_weights
+
     spark = metrics.sparkSession
-    wdf = spark.createDataFrame(WEIGHTS, ["channel", "scale", "map", "norm", "weight"])
+    wdf = spark.createDataFrame(
+        default_weights(cfg.channels, cfg.num_scales),
+        ["channel", "scale", "map", "norm", "weight"],
+    )
     s = (
         metrics.join(F.broadcast(wdf), ["channel", "scale", "map", "norm"])
         .groupBy("partition_id")

@@ -1,0 +1,125 @@
+"""Structured Streaming surface of the engine.
+
+The reference's only streaming trait is stdin y4m decode + a bounded
+worker queue (/root/reference/ssimulacra2_bin/src/video.rs:198-232,
+134-168) — batch per-frame with incremental collection. The engine's
+streaming path mirrors that shape idiomatically: a file-source stream of
+transcript rows, event-time tumbling-window stats with a watermark for
+late turns, and a custom stateful per-conversation monotonicity check via
+applyInPandasWithState (state = last seen (turn_idx, ts) per conv).
+
+Batch/stream parity: the windowed aggregation is the same logical plan as
+registry.drift.stream_tumbling_counts — Structured Streaming executes it
+incrementally; tests drive both with trigger(availableNow=True) and
+compare against the batch result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(spark: SparkSession, in_dir: str, max_files: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+
+def windowed_stats_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h event-time stats per window (late rows beyond the
+    watermark are dropped — the streaming analog of the stride/skip
+    admission controls, video.rs:145-161)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.avg(F.length("text")).alias("mean_len"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+        .select(F.col("w.start").alias("win_start"), "role", "n_turns", "mean_len", "approx_convs")
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("last_turn", IntegerType()), StructField("n_seen", LongType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("violation", StringType()),
+    ]
+)
+
+
+def _monotone_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-conversation strictly-increasing
+    turn_idx across micro-batches (≙ the atomically claimed, strictly
+    increasing frame index, video.rs:159-161). State: (last_turn, n_seen)."""
+    (conv_id,) = key
+    if state.exists:
+        last_turn, n_seen = state.get
+    else:
+        last_turn, n_seen = -1, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        for t in pdf["turn_idx"].astype(int):
+            if t <= last_turn:
+                out.append((conv_id, t, f"turn_idx {t} <= last seen {last_turn}"))
+            else:
+                last_turn = t
+            n_seen += 1
+    state.update((last_turn, n_seen))
+    if out:
+        yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "violation"])
+
+
+def monotone_stream(stream: DataFrame) -> DataFrame:
+    return (
+        stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _monotone_state_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain everything currently in the source, then stop (the test/bench
+    driver for the streaming path)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

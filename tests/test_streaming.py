@@ -1,0 +1,85 @@
+"""Structured Streaming surface: windowed stats (stream == batch under
+availableNow) and the custom stateful monotone check across micro-batches."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ssimulacra2_spark.streaming.validate_stream import (
+    monotone_stream,
+    read_transcript_stream,
+    run_available_now,
+    windowed_stats_stream,
+)
+
+
+def _write_chunks(res, d):
+    """Two event-time-ordered files so availableNow processes multiple
+    micro-batches with no late data (late-drop semantics are covered by
+    the monotone-state test below)."""
+    ref = res.ref.sort_values("ts").reset_index(drop=True)
+    half = len(ref) // 2
+    (d / "in").mkdir()
+    ref.iloc[:half].to_parquet(str(d / "in" / "part1.parquet"), index=False)
+    ref.iloc[half:].to_parquet(str(d / "in" / "part2.parquet"), index=False)
+    return str(d / "in")
+
+
+def test_windowed_stats_stream_matches_batch(spark, synth_tables, tmp_path):
+    in_dir = _write_chunks(synth_tables["res"], tmp_path)
+    stream = read_transcript_stream(spark, in_dir)
+    out = str(tmp_path / "out")
+    run_available_now(windowed_stats_stream(stream), out, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(out).toPandas()
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("win_start"), "role", "n_turns")
+        .toPandas()
+    )
+    # append mode emits only watermark-closed windows: every emitted
+    # window must exactly equal its batch counterpart, and most windows
+    # must have been emitted
+    merged = got.merge(batch, on=["win_start", "role"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_turns_s"] == merged["n_turns_b"]).all()
+    assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_monotone_stream_state_across_batches(spark, tmp_path):
+    # conv "a": turn 5 arrives in batch 1, turn 3 in batch 2 -> violation
+    (tmp_path / "in2").mkdir()
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": pd.array([1, 5, 1], dtype="int32"),
+            "role": ["user"] * 3,
+            "text": ["x"] * 3,
+            "tool": [None] * 3,
+            "ts": pd.to_datetime(["2025-01-01 00:00:01"] * 3).astype("datetime64[us]"),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": pd.array([3, 2], dtype="int32"),
+            "role": ["user"] * 2,
+            "text": ["x"] * 2,
+            "tool": [None] * 2,
+            "ts": pd.to_datetime(["2025-01-01 00:10:00"] * 2).astype("datetime64[us]"),
+        }
+    )
+    b1.to_parquet(str(tmp_path / "in2" / "b1.parquet"), index=False)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes so the file source orders b1 -> b2
+    b2.to_parquet(str(tmp_path / "in2" / "b2.parquet"), index=False)
+    stream = read_transcript_stream(spark, str(tmp_path / "in2"), max_files=1).coalesce(1)
+    out = str(tmp_path / "out2")
+    run_available_now(monotone_stream(stream), out, str(tmp_path / "ckpt2"))
+    got = spark.read.parquet(out).collect()
+    keys = {(r.conv_id, r.turn_idx) for r in got}
+    assert ("a", 3) in keys
+    assert ("b", 2) not in keys
