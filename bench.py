@@ -1,0 +1,110 @@
+"""Per-round benchmark: headline queries + the validation suite.
+
+Prints ONE JSON line:
+  {"metric": "validated turns/sec", "value": N, "unit": "turns/s",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_TURNS (override suite input size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "scan_parquet",
+    "elementwise_product_join",
+    "paired_zip_check",
+    "uniqueness_check",
+    "box_downsample_2x",
+    "windowed_moments",
+    "win_horizontal_scan",
+    "summary_stats",
+    "psi_ks_drift",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "multimodal_decode_stub",
+    "limit_scales",
+    "proj_ssim_expr",
+    "agg_weighted_score",
+    "stream_tumbling_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+
+    from ssimulacra2_spark.registry import QUERIES
+    from ssimulacra2_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # validation-suite throughput: the authoritative metric (BASELINE.json)
+    from ssimulacra2_spark.benchgen import distort, make_transcripts
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.plans.suite import ValidationSuite
+
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(20_000_000 * sf))))
+    n_convs = max(1000, n_turns // 100)
+    ref = make_transcripts(spark, n_turns, n_convs)
+    cand = distort(ref)
+    cfg = CheckSuiteConfig(n_buckets=32, num_scales=4, checks=(
+        "schema", "min_rows", "row_parity", "uniqueness", "monotone_ts",
+        "vocab_role", "vocab_tool", "text_parity", "column_stats", "psi_ks",
+        "drift_score",
+    ))
+    t0 = time.time()
+    verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
+    materialize(verdicts)
+    materialize(violations)
+    suite_wall = time.time() - t0
+    timings["validate_suite"] = round(suite_wall, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "validated turns/sec",
+                "value": round(n_turns / suite_wall, 1),
+                "unit": "turns/s",
+                "queries": timings,
+                "sf": sf,
+                "suite_turns": n_turns,
+                "cores": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""spark-submit bench job: generate a transcript pair distributively, run
+the full validation suite, print one JSON line {turns, wall_s, turns_per_s}.
+
+Usage (the scaling harness, jobs/bench_scaling.py, invokes this at two
+parallelism levels):
+
+    spark-submit --master local[8] --py-files engine.zip \
+        jobs/suite_bench.py --turns 2000000 --convs 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--turns", type=int, default=2_000_000)
+    p.add_argument("--convs", type=int, default=20_000)
+    p.add_argument("--scales", type=int, default=4)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--data-dir", default=None, help="reuse pre-generated pair")
+    args = p.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    cores = spark.sparkContext.defaultParallelism
+
+    from ssimulacra2_spark.benchgen import distort, make_transcripts
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.plans.suite import ValidationSuite
+
+    # materialize the pair to parquet first: the engine's real input is a
+    # table scan, not a generator DAG (which the suite would recompute once
+    # per check branch)
+    import tempfile
+
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="suite_bench_")
+    ref_path, cand_path = f"{data_dir}/ref", f"{data_dir}/cand"
+    import os as _os
+
+    if not _os.path.exists(ref_path):
+        gen = make_transcripts(spark, args.turns, args.convs)
+        gen.write.mode("overwrite").parquet(ref_path)
+        distort(spark.read.parquet(ref_path)).write.mode("overwrite").parquet(cand_path)
+    ref = spark.read.parquet(ref_path)
+    cand = spark.read.parquet(cand_path)
+    cfg = CheckSuiteConfig(
+        n_buckets=args.buckets,
+        num_scales=args.scales,
+        checks=(
+            "schema",
+            "min_rows",
+            "row_parity",
+            "uniqueness",
+            "monotone_ts",
+            "vocab_role",
+            "vocab_tool",
+            "text_parity",
+            "column_stats",
+            "psi_ks",
+            "drift_score",
+        ),
+    )
+    t0 = time.time()
+    verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
+    verdicts.write.format("noop").mode("overwrite").save()
+    violations.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    out = {
+        "cores": cores,
+        "turns": args.turns,
+        "wall_s": round(wall, 2),
+        "turns_per_s": round(args.turns / wall, 1),
+    }
+    print("SUITE_BENCH_RESULT " + json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

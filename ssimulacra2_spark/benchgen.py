@@ -1,0 +1,89 @@
+"""Distributed synthetic transcript generation for benchmarks.
+
+Unlike synth.py (pandas, test-sized), this generator is pure Spark
+expressions over spark.range(): deterministic (hash-derived columns, no
+RNG state), embarrassingly parallel, and therefore exactly the shape a
+100 TB bench harness needs — generation throughput scales with cores and
+no driver materialization ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_ROLES, DEFAULT_TOOLS
+
+_WORDS = (
+    "data query table scan join merge sort hash group window filter batch "
+    "stream vector column row key value fast slow big small the of and to"
+).split()
+
+
+def make_transcripts(
+    spark: SparkSession,
+    n_turns: int,
+    n_convs: int,
+    hot_fraction: float = 0.05,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """n_turns rows across n_convs conversations. A 'hot' slice of turns
+    (hot_fraction) all lands in conversation 0 — the skew lever.
+
+    Every column is a deterministic function of the row id (xxhash64-based),
+    so two invocations produce identical tables on any cluster size."""
+    df = spark.range(0, n_turns, 1, parallelism or spark.sparkContext.defaultParallelism)
+    h = F.xxhash64("id")
+    hot = F.pmod(h, F.lit(10_000)) < int(hot_fraction * 10_000)
+    conv_num = F.when(hot, F.lit(0)).otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_convs - 1)) + 1)
+    # turn_idx: dense per conversation is expensive to generate exactly;
+    # row_number per conv gives true per-conv ordinals in one shuffle
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_num").orderBy("id")
+    role_arr = F.array(*[F.lit(r) for r in DEFAULT_ROLES])
+    tool_arr = F.array(*[F.lit(t) for t in DEFAULT_TOOLS])
+    word_arr = F.array(*[F.lit(x) for x in _WORDS])
+    n_rep = (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30)) + 3).cast("int")
+    word = word_arr[F.pmod(F.xxhash64("id", F.lit(3)), F.lit(len(_WORDS))).cast("int")]
+    text = F.concat_ws(
+        " ",
+        F.transform(F.sequence(F.lit(1), n_rep), lambda i: word_arr[F.pmod(F.xxhash64(F.col("id") + i), F.lit(len(_WORDS))).cast("int")]),
+    )
+    return (
+        df.withColumn("conv_num", conv_num)
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            F.concat(F.lit("c"), F.lpad(F.col("conv_num").cast("string"), 9, "0")).alias("conv_id"),
+            "turn_idx",
+            role_arr[F.pmod(F.xxhash64("id", F.lit(4)), F.lit(len(DEFAULT_ROLES))).cast("int")].alias("role"),
+            text.alias("text"),
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10)) < 3,
+                tool_arr[F.pmod(F.xxhash64("id", F.lit(6)), F.lit(len(DEFAULT_TOOLS))).cast("int")],
+            ).alias("tool"),
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("turn_idx").cast("double") * 7.0)
+            ).alias("ts"),
+        )
+    )
+
+
+def distort(transcripts: DataFrame) -> DataFrame:
+    """Deterministic candidate snapshot: drop / mutate / corrupt a small
+    hash-selected fraction (≙ distort_yuv, benches.rs:66-80)."""
+    h = F.xxhash64("conv_id", "turn_idx")
+    m = F.pmod(h, F.lit(1000))
+    return (
+        transcripts.filter(m != 0)  # ~0.1% dropped
+        .withColumn(
+            "text",
+            F.when(m == 1, F.concat(F.col("text"), F.lit(" MUTATED"))).otherwise(F.col("text")),
+        )
+        .withColumn("role", F.when(m == 2, F.lit("intruder")).otherwise(F.col("role")))
+        .withColumn(
+            "ts",
+            F.when(m == 3, F.col("ts") - F.expr("INTERVAL 1 DAY")).otherwise(F.col("ts")),
+        )
+    )

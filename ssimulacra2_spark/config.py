@@ -82,6 +82,11 @@ class CheckSuiteConfig:
     hll_rsd: float = 0.02
     percentile_accuracy: int = 10_000
 
+    # drift implementation: 'arrow' = one applyInPandas kernel per
+    # partition bucket (fast path); 'window' = pure Spark window
+    # expressions (same math; useful for plan inspection / tiny inputs)
+    drift_impl: str = "arrow"
+
     checks: tuple[str, ...] = (
         "schema",
         "min_rows",

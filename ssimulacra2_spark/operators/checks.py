@@ -178,7 +178,7 @@ def row_parity_check(
 # --------------------------------------------------------------------------
 
 
-def uniqueness_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+def uniqueness_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     """groupBy the full key. The key is fine-grained (turn-level), so the
     shuffle is uniform by construction — Spark's partial aggregation is the
     'salt' here; the salted path is needed only for conv-level aggs."""
@@ -187,16 +187,12 @@ def uniqueness_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
-    violations = _viol(
+    return _viol(
         dups,
         "uniqueness",
         cls=F.lit("invalid"),
         observed=F.concat(F.lit("count="), F.col("n")),
         expected=F.lit("count=1"),
-    )
-    return CheckOutput(
-        verdicts=verdict_from_violations(parts, violations, "uniqueness"),
-        violations=violations,
     )
 
 
@@ -206,7 +202,7 @@ def uniqueness_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -
 # --------------------------------------------------------------------------
 
 
-def monotone_ts_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
+def monotone_ts_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     lagged = cand.select(
         "partition_id",
@@ -216,16 +212,12 @@ def monotone_ts_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) 
         F.lag(cfg.order_col).over(w).alias("prev_ts"),
     )
     bad = lagged.filter(F.col("ts_") < F.col("prev_ts"))
-    violations = _viol(
+    return _viol(
         bad,
         "monotone_ts",
         cls=F.lit("invalid"),
         observed=F.col("ts_"),
         expected=F.concat(F.lit(">= "), F.col("prev_ts")),
-    )
-    return CheckOutput(
-        verdicts=verdict_from_violations(parts, violations, "monotone_ts"),
-        violations=violations,
     )
 
 
@@ -234,30 +226,25 @@ def monotone_ts_check(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) 
 # --------------------------------------------------------------------------
 
 
-def vocab_check(
+def vocab_violations(
     cand: DataFrame,
-    parts: DataFrame,
     cfg: CheckSuiteConfig,
     column: str,
     vocab: tuple[str, ...],
     nullable: bool,
-) -> CheckOutput:
+) -> DataFrame:
     spark = cand.sparkSession
     check_id = f"vocab_{column}"
     dim = spark.createDataFrame([(v,) for v in vocab], [column])
     bad = cand.join(F.broadcast(dim), column, "left_anti")
     if nullable:
         bad = bad.filter(F.col(column).isNotNull())
-    violations = _viol(
+    return _viol(
         bad,
         check_id,
         cls=F.lit("invalid"),
         observed=F.col(column),
         expected=F.lit(f"in dim_{column}s"),
-    )
-    return CheckOutput(
-        verdicts=verdict_from_violations(parts, violations, check_id),
-        violations=violations,
     )
 
 
@@ -267,9 +254,9 @@ def vocab_check(
 # --------------------------------------------------------------------------
 
 
-def text_parity_check(
-    ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
-) -> CheckOutput:
+def text_parity_violations(
+    ref: DataFrame, cand: DataFrame, cfg: CheckSuiteConfig
+) -> DataFrame:
     """Full-outer equi-join on (conv_id, turn_idx).
 
     Scale path: project to (keys, xxhash64(text), prefix) BEFORE the join —
@@ -306,16 +293,12 @@ def text_parity_check(
         .when(F.col("ref_h") != F.col("cand_h"), F.lit("mismatch"))
     )
     bad = j.withColumn("cls", cls).filter(F.col("cls").isNotNull())
-    violations = _viol(
+    return _viol(
         bad,
         "text_parity",
         cls=F.col("cls"),
         observed=F.col("cand_p"),
         expected=F.col("ref_p"),
-    )
-    return CheckOutput(
-        verdicts=verdict_from_violations(parts, violations, "text_parity"),
-        violations=violations,
     )
 
 

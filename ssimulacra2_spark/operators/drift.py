@@ -40,19 +40,15 @@ def featurize(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     """Turn text into normalized numeric channels (vectorized Column
     expressions, ≙ xyb_to_planar lib.rs:137-155). Long format:
     (partition_id, conv_id, turn_idx, channel, v), v in ~[0, 1]."""
-    t = F.coalesce(F.col(cfg.text_col), F.lit(""))
-    exprs = {
-        "len": F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0,
-        "tok": F.least(F.size(F.split(t, " +")), F.lit(512)).cast("double") / 512.0,
-        "hash": F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0,
-    }
+    from .drift_arrow import channel_expr
+
     chans = list(cfg.channels)
     stack_args = ", ".join(f"'{c}', ch_{c}" for c in chans)
     return df.select(
         "partition_id",
         "conv_id",
         "turn_idx",
-        *[exprs[c].alias(f"ch_{c}") for c in chans],
+        *[channel_expr(cfg.text_col, c).alias(f"ch_{c}") for c in chans],
     ).selectExpr(
         "partition_id",
         "conv_id",

@@ -1,0 +1,218 @@
+"""Arrow-vectorized drift scoring — the engine's fast path.
+
+Same math as operators/drift.py (and the pandas oracle), executed as ONE
+applyInPandas over partition buckets instead of 4-6 scales x 6 windowed
+series of Spark window expressions:
+
+  featurize in Spark expressions (JVM, codegen) -> pair join ->
+  one shuffle by partition_id -> per-batch numpy computes masked
+  kernel smoothing / ssim+edgediff maps / multi-scale rollup ->
+  per (channel, scale, map) partial sums -> tiny metrics rows out.
+
+Why it scales:
+- featurization happens BEFORE the exchange, so the shuffle moves
+  2 x len(channels) doubles per row, never text payloads;
+- conversations never straddle buckets, so each Arrow batch is complete
+  and the numpy kernels are exact;
+- the per-element math is vectorized ACROSS conversations (boundary masks
+  instead of per-conversation loops) — a batch with one hot conversation
+  costs the same as a batch of many small ones;
+- output is ~(buckets x channels x scales x 3) partial rows — nothing
+  driver-side; the final merge is a trivial groupBy.
+
+Reference analog: the per-frame score kernel behind the worker pool
+(video.rs:407-456) with rayon-style data parallelism inside each score
+(gaussian.rs:12-23).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import CheckSuiteConfig
+from ..constants import C2, KERNEL_TAPS
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("channel", StringType()),
+        StructField("scale", IntegerType()),
+        StructField("map", StringType()),
+        StructField("sum_d", DoubleType()),
+        StructField("sum_d4", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def channel_expr(text_col: str, channel: str):
+    """Feature channel as a Catalyst expression (shared by the window impl
+    and the Arrow impl so both produce identical inputs)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if channel == "len":
+        return F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0
+    if channel == "tok":
+        return F.least(F.size(F.split(t, " +")), F.lit(512)).cast("double") / 512.0
+    if channel == "hash":
+        return F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0
+    raise ValueError(channel)
+
+
+def _smooth_masked(x: np.ndarray, run_id: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """Kernel smoothing that never crosses conversation boundaries,
+    vectorized across the whole flat batch (sorted by conv, idx)."""
+    n = len(x)
+    num = np.zeros(n)
+    den = np.zeros(n)
+    r = len(taps) // 2
+    for o in range(-r, r + 1):
+        w = taps[o + r]
+        if o == 0:
+            num += w * x
+            den += w
+            continue
+        shifted = np.empty(n)
+        ok = np.zeros(n, dtype=bool)
+        if o < 0:
+            shifted[-o:] = x[:o]
+            ok[-o:] = run_id[-o:] == run_id[:o]
+        else:
+            shifted[:-o] = x[o:]
+            ok[:-o] = run_id[:-o] == run_id[o:]
+        num += np.where(ok, w * shifted, 0.0)
+        den += np.where(ok, w, 0.0)
+    return num / den
+
+
+def _downsample_masked(
+    v1: np.ndarray, v2: np.ndarray, run_id: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Edge-clamped pairwise 2x mean per conversation run (vectorized;
+    ≙ downscale_by_2's odd-edge clamp, lib.rs:181-182)."""
+    n = len(v1)
+    idx = np.arange(n)
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = run_id[1:] != run_id[:-1]
+    run_first = np.zeros(n, dtype=np.int64)
+    run_first[starts] = idx[starts]
+    run_first = np.maximum.accumulate(run_first)
+    pos = idx - run_first
+    keep = (pos % 2) == 0
+    nxt = np.minimum(idx + 1, n - 1)
+    same = np.zeros(n, dtype=bool)
+    same[:-1] = run_id[:-1] == run_id[1:]
+    p1 = np.where(same, v1[nxt], v1)
+    p2 = np.where(same, v2[nxt], v2)
+    return ((v1 + p1) / 2.0)[keep], ((v2 + p2) / 2.0)[keep], run_id[keep]
+
+
+def _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12):
+    num_m = 1.0 - (mu1 - mu2) ** 2
+    num_s = 2.0 * (s12 - mu1 * mu2) + C2
+    den_s = (s11 - mu1 * mu1) + (s22 - mu2 * mu2) + C2
+    d_ssim = np.maximum(0.0, 1.0 - (num_m * num_s) / den_s)
+    d1 = (1.0 + np.abs(v2 - mu2)) / (1.0 + np.abs(v1 - mu1)) - 1.0
+    return d_ssim, np.maximum(d1, 0.0), np.maximum(-d1, 0.0)
+
+
+def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """paired: (partition_id, conv_id, turn_idx, v1_<ch>, v2_<ch> ...) —
+    one applyInPandas per partition bucket emitting partial sums."""
+    taps = np.asarray(KERNEL_TAPS)
+    channels = tuple(cfg.channels)
+    num_scales = cfg.num_scales
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        pid = int(pdf["partition_id"].iloc[0])
+        conv = pdf["conv_id"].to_numpy()
+        starts = np.ones(len(pdf), dtype=bool)
+        starts[1:] = conv[1:] != conv[:-1]
+        run_id0 = np.cumsum(starts)
+        out = []
+        for ch in channels:
+            v1 = pdf[f"v1_{ch}"].to_numpy(np.float64)
+            v2 = pdf[f"v2_{ch}"].to_numpy(np.float64)
+            rid = run_id0
+            for s in range(num_scales):
+                if s > 0:
+                    v1, v2, rid = _downsample_masked(v1, v2, rid)
+                mu1 = _smooth_masked(v1, rid, taps)
+                mu2 = _smooth_masked(v2, rid, taps)
+                s11 = _smooth_masked(v1 * v1, rid, taps)
+                s22 = _smooth_masked(v2 * v2, rid, taps)
+                s12 = _smooth_masked(v1 * v2, rid, taps)
+                d_ssim, artifact, detail = _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12)
+                for m, arr in (("ssim", d_ssim), ("artifact", artifact), ("detail", detail)):
+                    out.append(
+                        (pid, ch, s, m, float(arr.sum()), float((arr**4).sum()), len(arr))
+                    )
+        return pd.DataFrame(
+            out,
+            columns=["partition_id", "channel", "scale", "map", "sum_d", "sum_d4", "n"],
+        )
+
+    return paired.groupBy("partition_id").applyInPandas(fn, schema=_PARTIAL_SCHEMA)
+
+
+def drift_score_check_arrow(
+    ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
+):
+    """Arrow fast path; same CheckOutput contract and same math as
+    operators.drift.drift_score_check (pytest pins both against the pandas
+    oracle)."""
+    from .checks import CheckOutput
+    from .drift import calibrated_score
+
+    t = cfg.text_col
+    r = ref.select(
+        "partition_id",
+        "conv_id",
+        "turn_idx",
+        *[channel_expr(t, ch).alias(f"v1_{ch}") for ch in cfg.channels],
+    )
+    c = cand.select(
+        "conv_id",
+        "turn_idx",
+        *[channel_expr(t, ch).alias(f"v2_{ch}") for ch in cfg.channels],
+    )
+    paired = r.join(c, ["conv_id", "turn_idx"])
+    partials = drift_partials(paired, cfg)
+    metrics = (
+        partials.groupBy("partition_id", "channel", "scale", "map")
+        .agg(
+            (F.sum("sum_d") / F.sum("n")).alias("l1_"),
+            F.pow(F.sum("sum_d4") / F.sum("n"), 0.25).alias("l4_"),
+        )
+        .selectExpr(
+            "partition_id",
+            "channel",
+            "scale",
+            "map",
+            "stack(2, 'l1', l1_, 'l4', l4_) AS (norm, value)",
+        )
+    )
+    scores = calibrated_score(metrics, cfg)
+    verdicts = (
+        parts.select("partition_id")
+        .join(scores, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int"),
+            F.lit("drift_score").alias("check_id"),
+            F.coalesce(F.col("score") >= cfg.score_threshold, F.lit(True)).alias("passed"),
+            F.lit(0).cast("long").alias("n_violations"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+    return CheckOutput(verdicts=verdicts, metrics=metrics)

@@ -51,38 +51,76 @@ class ValidationSuite:
         ref_parts = C.partition_counts(ref).cache()
         cand_parts = C.partition_counts(cand)
         parts = ref_parts
+        enabled = set(cfg.checks)
+
+        # --- violation-producing checks: build all branches, union, and
+        # persist ONCE — verdict counts then reuse the persisted rows
+        # instead of recomputing every check branch a second time
+        viol_dfs: list[DataFrame] = []
+        viol_check_ids: list[str] = []
+        if "uniqueness" in enabled:
+            viol_dfs.append(C.uniqueness_violations(cand, cfg))
+            viol_check_ids.append("uniqueness")
+        if "monotone_ts" in enabled:
+            viol_dfs.append(C.monotone_ts_violations(cand, cfg))
+            viol_check_ids.append("monotone_ts")
+        if "vocab_role" in enabled:
+            viol_dfs.append(C.vocab_violations(cand, cfg, "role", cfg.roles, nullable=False))
+            viol_check_ids.append("vocab_role")
+        if "vocab_tool" in enabled:
+            viol_dfs.append(C.vocab_violations(cand, cfg, "tool", cfg.tools, nullable=True))
+            viol_check_ids.append("vocab_tool")
+        if "text_parity" in enabled:
+            viol_dfs.append(C.text_parity_violations(ref, cand, cfg))
+            viol_check_ids.append("text_parity")
+        if viol_dfs:
+            violations = reduce(DataFrame.unionByName, viol_dfs).persist()
+        else:
+            violations = spark.createDataFrame([], C.VIOLATION_SCHEMA)
 
         outputs: list[C.CheckOutput] = []
-        enabled = set(cfg.checks)
         if "schema" in enabled:
             outputs.append(C.schema_check(spark, ref, cand, cfg))
         if "min_rows" in enabled:
             outputs.append(C.min_rows_check(ref_parts, cfg))
         if "row_parity" in enabled:
             outputs.append(C.row_parity_check(ref_parts, cand_parts, cfg))
-        if "uniqueness" in enabled:
-            outputs.append(C.uniqueness_check(cand, parts, cfg))
-        if "monotone_ts" in enabled:
-            outputs.append(C.monotone_ts_check(cand, parts, cfg))
-        if "vocab_role" in enabled:
-            outputs.append(C.vocab_check(cand, parts, cfg, "role", cfg.roles, nullable=False))
-        if "vocab_tool" in enabled:
-            outputs.append(C.vocab_check(cand, parts, cfg, "tool", cfg.tools, nullable=True))
-        if "text_parity" in enabled:
-            outputs.append(C.text_parity_check(ref, cand, parts, cfg))
         if "column_stats" in enabled:
             outputs.append(column_stats(cand, parts, cfg))
         if "psi_ks" in enabled:
             outputs.append(psi_ks_check(ref, cand, parts, cfg))
         if "drift_score" in enabled:
-            outputs.append(drift_score_check(ref, cand, parts, cfg))
+            if cfg.drift_impl == "arrow":
+                from ..operators.drift_arrow import drift_score_check_arrow
 
-        verdicts = reduce(DataFrame.unionByName, [o.verdicts for o in outputs])
-        viol_dfs = [o.violations for o in outputs if o.violations is not None]
-        if viol_dfs:
-            violations = reduce(DataFrame.unionByName, viol_dfs)
+                outputs.append(drift_score_check_arrow(ref, cand, parts, cfg))
+            else:
+                outputs.append(drift_score_check(ref, cand, parts, cfg))
+
+        if outputs:
+            verdicts = reduce(DataFrame.unionByName, [o.verdicts for o in outputs])
         else:
-            violations = spark.createDataFrame([], C.VIOLATION_SCHEMA)
+            verdicts = spark.createDataFrame([], C.VERDICT_SCHEMA)
+        if viol_check_ids:
+            checks_df = spark.createDataFrame(
+                [(c,) for c in viol_check_ids], ["check_id"]
+            )
+            counts = violations.groupBy("partition_id", "check_id").agg(
+                F.count("*").alias("n_violations")
+            )
+            viol_verdicts = (
+                parts.select("partition_id")
+                .crossJoin(F.broadcast(checks_df))
+                .join(counts, ["partition_id", "check_id"], "left")
+                .select(
+                    F.col("partition_id").cast("int"),
+                    "check_id",
+                    (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+                    F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+                    F.lit(None).cast("double").alias("score"),
+                )
+            )
+            verdicts = verdicts.unionByName(viol_verdicts)
 
         if io is not None:
             pids = [r.partition_id for r in parts.select("partition_id").collect()]

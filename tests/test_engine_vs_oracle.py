@@ -88,11 +88,17 @@ def test_row_parity_counts(suite_out, synth_tables):
         assert r.passed == (want == 0)
 
 
-def test_drift_scores_match_oracle(spark, synth_tables):
+@pytest.mark.parametrize("impl", ["window", "arrow"])
+def test_drift_scores_match_oracle(spark, synth_tables, impl):
+    """Both drift implementations (pure-window and Arrow-kernel) must match
+    the pandas oracle to 1e-9 relative."""
+    from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
+
     t = synth_tables
     cfg = t["cfg"]
     parts = C.partition_counts(t["ref"])
-    out = drift_score_check(t["ref"], t["cand"], parts, cfg)
+    fn = drift_score_check_arrow if impl == "arrow" else drift_score_check
+    out = fn(t["ref"], t["cand"], parts, cfg)
     got = {r.partition_id: r.score for r in out.verdicts.collect()}
     want = oracle.drift_scores(t["res"].ref, t["res"].cand, cfg, t["partition_of"])
     assert set(got) == set(want)
