@@ -87,6 +87,19 @@ class CheckSuiteConfig:
     # expressions (same math; useful for plan inspection / tiny inputs)
     drift_impl: str = "arrow"
 
+    # how check branches share the prepared compact projection:
+    #   'none'    — each branch rescans the pruned source columns (cheap
+    #               featurization recomputes in parallel; best measured
+    #               default here and the right call on Iceberg, where
+    #               column pruning makes rescans cheap)
+    #   'memory'  — DataFrame persist (columnar cache; costs heap + a
+    #               serial build pass — measured slower at 32M rows)
+    #   'staging' — write the projection once to a staging parquet dir and
+    #               scan that (the 100 TB pattern for very expensive
+    #               featurization)
+    cache_mode: str = "none"
+    staging_dir: str | None = None
+
     checks: tuple[str, ...] = (
         "schema",
         "min_rows",

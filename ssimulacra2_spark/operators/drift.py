@@ -37,19 +37,12 @@ from .checks import CheckOutput
 
 
 def featurize(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
-    """Turn text into normalized numeric channels (vectorized Column
-    expressions, ≙ xyb_to_planar lib.rs:137-155). Long format:
+    """Pivot the prepared channel columns (ch_<name>, computed once in
+    checks.prepare — ≙ xyb_to_planar lib.rs:137-155) to long format:
     (partition_id, conv_id, turn_idx, channel, v), v in ~[0, 1]."""
-    from .drift_arrow import channel_expr
-
     chans = list(cfg.channels)
     stack_args = ", ".join(f"'{c}', ch_{c}" for c in chans)
-    return df.select(
-        "partition_id",
-        "conv_id",
-        "turn_idx",
-        *[channel_expr(cfg.text_col, c).alias(f"ch_{c}") for c in chans],
-    ).selectExpr(
+    return df.selectExpr(
         "partition_id",
         "conv_id",
         "turn_idx",
@@ -282,7 +275,7 @@ def psi_ks_check(
     def binned(df: DataFrame, name: str) -> DataFrame:
         b = F.least(
             F.lit(nb - 1),
-            F.floor(F.least(F.length(F.coalesce(F.col(cfg.text_col), F.lit(""))), F.lit(2047)) / (2048 / nb)),
+            F.floor(F.least(F.coalesce(F.col("text_len"), F.lit(0)), F.lit(2047)) / (2048 / nb)),
         ).cast("int")
         return df.groupBy("partition_id", b.alias("bin")).agg(F.count("*").alias(name))
 

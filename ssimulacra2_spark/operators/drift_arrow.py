@@ -63,7 +63,9 @@ def channel_expr(text_col: str, channel: str):
     if channel == "len":
         return F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0
     if channel == "tok":
-        return F.least(F.size(F.split(t, " +")), F.lit(512)).cast("double") / 512.0
+        # tokens = space-runs + 1 == size(split(t, ' +')) but without the
+        # per-row array allocation (profiled: split dominated the scan)
+        return F.least(F.regexp_count(t, F.lit(" +")) + 1, F.lit(512)).cast("double") / 512.0
     if channel == "hash":
         return F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0
     raise ValueError(channel)
@@ -175,17 +177,17 @@ def drift_score_check_arrow(
     from .checks import CheckOutput
     from .drift import calibrated_score
 
-    t = cfg.text_col
+    # consumes the prepare() projection (ch_<name> computed once per side)
     r = ref.select(
         "partition_id",
         "conv_id",
         "turn_idx",
-        *[channel_expr(t, ch).alias(f"v1_{ch}") for ch in cfg.channels],
+        *[F.col(f"ch_{ch}").alias(f"v1_{ch}") for ch in cfg.channels],
     )
     c = cand.select(
         "conv_id",
         "turn_idx",
-        *[channel_expr(t, ch).alias(f"v2_{ch}") for ch in cfg.channels],
+        *[F.col(f"ch_{ch}").alias(f"v2_{ch}") for ch in cfg.channels],
     )
     paired = r.join(c, ["conv_id", "turn_idx"])
     partials = drift_partials(paired, cfg)

@@ -18,11 +18,13 @@ from .checks import CheckOutput
 
 
 def column_stats(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> CheckOutput:
-    t = cfg.text_col
-    tlen = F.length(F.col(t))
+    """Consumes the prepare() projection: text_len / text_h instead of the
+    raw payload (distinct hashes stand in for distinct texts — standard at
+    scale; collision error is negligible next to the HLL's own rsd)."""
+    tlen = F.col("text_len")
     agg = cand.groupBy("partition_id").agg(
         F.count("*").alias("n_rows"),
-        (F.count("*") - F.count(t)).alias("text_nulls"),
+        (F.count("*") - F.count("text_len")).alias("text_nulls"),
         (F.count("*") - F.count("tool")).alias("tool_nulls"),
         (F.count("*") - F.count("role")).alias("role_nulls"),
         F.min(tlen).cast("double").alias("len_min"),
@@ -32,7 +34,7 @@ def column_stats(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> Ch
         F.percentile_approx(tlen, 0.5, cfg.percentile_accuracy).cast("double").alias("len_p50"),
         F.percentile_approx(tlen, 0.95, cfg.percentile_accuracy).cast("double").alias("len_p95"),
         F.approx_count_distinct("conv_id", cfg.hll_rsd).alias("approx_convs"),
-        F.approx_count_distinct(t, cfg.hll_rsd).alias("approx_texts"),
+        F.approx_count_distinct("text_h", cfg.hll_rsd).alias("approx_texts"),
         F.min("turn_idx").cast("double").alias("turn_min"),
         F.max("turn_idx").cast("double").alias("turn_max"),
     )

@@ -39,14 +39,29 @@ class ValidationSuite:
         """Returns (verdicts, violations); if `io` is given, results are
         written (MERGE) and already-completed partitions are skipped."""
         cfg = self.cfg
-        ref = C.with_partition_id(ref, cfg)
-        cand = C.with_partition_id(cand, cfg)
+        ref_raw, cand_raw = ref, cand
+        # one-pass compact featurization shared by every check (text is
+        # decoded exactly once per side; see checks.prepare)
+        ref = C.prepare(ref, cfg)
+        cand = C.prepare(cand, cfg)
 
         done: set[int] = io.completed_partitions(run_id) if io else set()
         if done:
             keep = ~F.col("partition_id").isin([int(p) for p in done])
             ref = ref.filter(keep)
             cand = cand.filter(keep)
+
+        if cfg.cache_mode == "memory":
+            ref = ref.persist()
+            cand = cand.persist()
+        elif cfg.cache_mode == "staging":
+            import tempfile
+
+            d = cfg.staging_dir or tempfile.mkdtemp(prefix="suite_staging_")
+            ref.write.mode("overwrite").parquet(f"{d}/ref_{run_id}")
+            cand.write.mode("overwrite").parquet(f"{d}/cand_{run_id}")
+            ref = spark.read.parquet(f"{d}/ref_{run_id}")
+            cand = spark.read.parquet(f"{d}/cand_{run_id}")
 
         ref_parts = C.partition_counts(ref).cache()
         cand_parts = C.partition_counts(cand)
@@ -80,7 +95,7 @@ class ValidationSuite:
 
         outputs: list[C.CheckOutput] = []
         if "schema" in enabled:
-            outputs.append(C.schema_check(spark, ref, cand, cfg))
+            outputs.append(C.schema_check(spark, ref_raw, cand_raw, cfg))
         if "min_rows" in enabled:
             outputs.append(C.min_rows_check(ref_parts, cfg))
         if "row_parity" in enabled:

@@ -19,10 +19,10 @@ ORACLES: dict[str, str] = {}
 
 
 def _collect() -> None:
-    from . import core, dedup, drift, multimodal, similarity, textops, windows
+    from . import core, dedup, drift, engineops, multimodal, similarity, textops, windows
     from ._util import with_eps6
 
-    for mod in (core, windows, dedup, similarity, textops, drift, multimodal):
+    for mod in (core, windows, dedup, similarity, textops, drift, multimodal, engineops):
         QUERIES.update(mod.QUERIES)
         ORACLES.update({k: with_eps6(v) for k, v in mod.ORACLES.items()})
 

@@ -1,0 +1,160 @@
+"""Engine-surface queries: streaming scan, set ops, vectorized scalar UDF,
+salted two-phase aggregation, and the mergeable t-digest UDAF — the
+remaining SURVEY §2 / §2.10 ids not covered by core.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ._util import load, r6
+
+QUERIES = {}
+ORACLES = {}
+
+
+@(lambda fn: (QUERIES.__setitem__("scan_stream_source", fn), fn)[1])
+def scan_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source scan (ref: stdin y4m stream decode,
+    video.rs:198-232). Runs a REAL readStream over the events parquet with
+    trigger(availableNow) into a temp sink, then returns the aggregated
+    result — exercising the incremental execution path while remaining
+    batch-checkable by the driver's oracle."""
+    d = tempfile.mkdtemp(prefix="scan_stream_")
+    stream = (
+        spark.readStream.schema(load(spark, sf_dir, "events").schema)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{d}/out")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("mean_v"))
+    )
+
+
+ORACLES["scan_stream_source"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_v
+FROM events GROUP BY event_type
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("set_ops_suite", fn), fn)[1])
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7: absent in the reference core; the
+    engine uses unionByName to stack per-check violation frames). Demo:
+    union / intersect / except over two key slices."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderkey") % 5 == 0).select(F.col("o_custkey").alias("k"))
+    return (
+        a.union(b).select(F.lit("union_all").alias("op"), "k")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.countDistinct("k").alias("n_distinct"))
+    )
+
+
+ORACLES["set_ops_suite"] = """
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 5 = 0),
+     stacked AS (
+       SELECT 'union_all' AS op, k FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+       UNION ALL
+       SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+       UNION ALL
+       SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+     )
+SELECT op, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct FROM stacked GROUP BY op
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("featurize_text", fn), fn)[1])
+def featurize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (SURVEY §2.10 featurize_text: text ->
+    numeric channels ≙ planar pivot lib.rs:137-155). The sigmoid quality
+    channel is deterministic arithmetic, so even the Arrow round-trip gets
+    a full oracle. (Pure-Column variants of these channels live in
+    operators/drift_arrow.channel_expr — the UDF here demonstrates the
+    Arrow-batched scalar path.)"""
+    import numpy as np
+
+    @pandas_udf("double")
+    def quality_channel(text: pd.Series) -> pd.Series:
+        n = text.fillna("").str.len().to_numpy(np.float64)
+        return pd.Series(1.0 / (1.0 + np.exp(-(n - 256.0) / 64.0)))
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        r6(quality_channel(F.col("text"))).alias("quality"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+ORACLES["featurize_text"] = """
+SELECT doc_id,
+  ROUND(1.0 / (1.0 + EXP(-(length(text) - 256.0) / 64.0)), 6) AS quality,
+  length(text) AS n_chars_m
+FROM documents
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("salted_two_phase_agg", fn), fn)[1])
+def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (north rule: hot conversations).
+    Phase 1 groups on (key, salt) so a hot key's rows spread across
+    reducers; phase 2 merges partials. Result is identical to the direct
+    groupBy — which is exactly what the oracle checks."""
+    ev = load(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(8))
+    phase1 = (
+        ev.withColumn("salt", salt)
+        .groupBy("user_id", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"), F.max("value").alias("pm"))
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n"),
+            r6(F.sum("pv") / F.sum("pn")).alias("mean_v"),
+            r6(F.max("pm")).alias("max_v"),
+        )
+    )
+
+
+ORACLES["salted_two_phase_agg"] = """
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value)/COUNT(*), 6) AS mean_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY user_id
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("tdigest_quantiles", fn), fn)[1])
+def tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile profile (SURVEY §2.10 tdigest_agg;
+    ≙ percentile report video.rs:499-507). Two applyInPandas phases —
+    salted partial digests, then merge. No SQL oracle: sketch estimates
+    are approximate by design; pytest pins them against exact quantiles
+    with tolerance."""
+    from ..functions.tdigest import tdigest_quantiles as tq
+
+    ev = load(spark, sf_dir, "events")
+    return tq(ev, "event_type", "value", quantiles=(0.5, 0.95))
+
+
+# no oracle for tdigest_quantiles (approximate; pytest-pinned)

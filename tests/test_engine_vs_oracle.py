@@ -96,9 +96,11 @@ def test_drift_scores_match_oracle(spark, synth_tables, impl):
 
     t = synth_tables
     cfg = t["cfg"]
-    parts = C.partition_counts(t["ref"])
+    ref_p = C.prepare(t["ref"].drop("partition_id"), cfg)
+    cand_p = C.prepare(t["cand"].drop("partition_id"), cfg)
+    parts = C.partition_counts(ref_p)
     fn = drift_score_check_arrow if impl == "arrow" else drift_score_check
-    out = fn(t["ref"], t["cand"], parts, cfg)
+    out = fn(ref_p, cand_p, parts, cfg)
     got = {r.partition_id: r.score for r in out.verdicts.collect()}
     want = oracle.drift_scores(t["res"].ref, t["res"].cand, cfg, t["partition_of"])
     assert set(got) == set(want)
