@@ -71,30 +71,44 @@ def channel_expr(text_col: str, channel: str):
     raise ValueError(channel)
 
 
-def _smooth_masked(x: np.ndarray, run_id: np.ndarray, taps: np.ndarray) -> np.ndarray:
-    """Kernel smoothing that never crosses conversation boundaries,
-    vectorized across the whole flat batch (sorted by conv, idx)."""
-    n = len(x)
-    num = np.zeros(n)
-    den = np.zeros(n)
+def _smooth_many(
+    series: list[np.ndarray], run_id: np.ndarray, taps: np.ndarray
+) -> list[np.ndarray]:
+    """Kernel smoothing of several series sharing one boundary structure,
+    vectorized across the whole flat batch (sorted by conv, idx).
+
+    The same-conversation mask per offset depends only on run_id, so it is
+    computed once and shared by all series; scratch buffers are reused
+    across offsets (≙ the reference's deliberate buffer reuse,
+    lib.rs:60-65,95-102) — allocation churn is what turns 32 concurrent
+    workers into a page-fault storm."""
+    n = len(run_id)
     r = len(taps) // 2
+    nums = [np.zeros(n) for _ in series]
+    den = np.zeros(n)
+    scratch = np.empty(n)
     for o in range(-r, r + 1):
         w = taps[o + r]
         if o == 0:
-            num += w * x
+            for num, x in zip(nums, series):
+                num += w * x
             den += w
             continue
-        shifted = np.empty(n)
-        ok = np.zeros(n, dtype=bool)
+        m = max(n - abs(o), 0)  # overlap length (negative stops would wrap)
         if o < 0:
-            shifted[-o:] = x[:o]
-            ok[-o:] = run_id[-o:] == run_id[:o]
+            sl_dst, sl_src = slice(-o, -o + m), slice(0, m)
         else:
-            shifted[:-o] = x[o:]
-            ok[:-o] = run_id[:-o] == run_id[o:]
-        num += np.where(ok, w * shifted, 0.0)
-        den += np.where(ok, w, 0.0)
-    return num / den
+            sl_dst, sl_src = slice(0, m), slice(o, o + m)
+        ok = run_id[sl_dst] == run_id[sl_src]
+        if len(ok) == 0:  # batch shorter than the kernel offset
+            continue
+        # weight where the neighbor is in the same conversation, else 0
+        wvec = scratch[: len(ok)]
+        np.multiply(ok, w, out=wvec)
+        den[sl_dst] += wvec
+        for num, x in zip(nums, series):
+            num[sl_dst] += x[sl_src] * wvec
+    return [num / den for num in nums]
 
 
 def _downsample_masked(
@@ -150,11 +164,9 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
             for s in range(num_scales):
                 if s > 0:
                     v1, v2, rid = _downsample_masked(v1, v2, rid)
-                mu1 = _smooth_masked(v1, rid, taps)
-                mu2 = _smooth_masked(v2, rid, taps)
-                s11 = _smooth_masked(v1 * v1, rid, taps)
-                s22 = _smooth_masked(v2 * v2, rid, taps)
-                s12 = _smooth_masked(v1 * v2, rid, taps)
+                mu1, mu2, s11, s22, s12 = _smooth_many(
+                    [v1, v2, v1 * v1, v2 * v2, v1 * v2], rid, taps
+                )
                 d_ssim, artifact, detail = _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12)
                 for m, arr in (("ssim", d_ssim), ("artifact", artifact), ("detail", detail)):
                     out.append(

@@ -26,9 +26,14 @@ def scan_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — exercising the incremental execution path while remaining
     batch-checkable by the driver's oracle."""
     d = tempfile.mkdtemp(prefix="scan_stream_")
+    os.makedirs(f"{d}/in", exist_ok=True)
+    # file-stream sources read directories; link the source file in
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), f"{d}/in/events.parquet"
+    )
     stream = (
         spark.readStream.schema(load(spark, sf_dir, "events").schema)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(f"{d}/in")
     )
     q = (
         stream.writeStream.format("parquet")
