@@ -62,6 +62,11 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen/python-worker warmup so per-query timings reflect steady
+    # state rather than first-query initialization
+    materialize(QUERIES["scan_parquet"](spark, sf_dir))
+    materialize(QUERIES["multimodal_decode_stub"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = QUERIES[name]

@@ -19,10 +19,20 @@ ORACLES: dict[str, str] = {}
 
 
 def _collect() -> None:
-    from . import core, dedup, drift, engineops, multimodal, similarity, textops, windows
+    from . import (
+        core,
+        dedup,
+        drift,
+        engineops,
+        ivf,
+        multimodal,
+        similarity,
+        textops,
+        windows,
+    )
     from ._util import with_eps6
 
-    for mod in (core, windows, dedup, similarity, textops, drift, multimodal, engineops):
+    for mod in (core, windows, dedup, similarity, textops, drift, multimodal, engineops, ivf):
         QUERIES.update(mod.QUERIES)
         ORACLES.update({k: with_eps6(v) for k, v in mod.ORACLES.items()})
 

@@ -23,7 +23,10 @@ ORACLES = {}
 # folding — computed once on the driver, embedded as literals).
 _P = 2147483647  # Mersenne prime 2^31 - 1
 _NUM_HASHES = 8
-_BANDS = 4  # 4 bands x 2 rows
+_BANDS = 2  # 2 bands x 4 rows: high-precision bands — candidate-pair
+# density stays manageable on vocabulary-dense corpora (the verify stage
+# downstream is dedup_ngram_jaccard)
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _rng = random.Random(42)
 _AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_HASHES)]
 
@@ -91,8 +94,10 @@ def _minhash_sql(dialect: str) -> str:
     sigs = ", ".join(_minhash_sig_exprs())
     band_keys = []
     for b in range(_BANDS):
-        r0, r1 = 2 * b, 2 * b + 1
-        band_keys.append(f"CAST(sig{r0} AS STRING) || '_' || CAST(sig{r1} AS STRING) AS band{b}")
+        parts = " || '_' || ".join(
+            f"CAST(sig{b * _ROWS_PER_BAND + i} AS STRING)" for i in range(_ROWS_PER_BAND)
+        )
+        band_keys.append(f"{parts} AS band{b}")
     band_cols = ", ".join(band_keys)
     band_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM sigs" for b in range(_BANDS)

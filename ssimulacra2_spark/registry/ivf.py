@@ -1,0 +1,116 @@
+"""IVF-style ANN: coarse quantizer (fixed seeded centroids) -> assign each
+vector to its nearest cell -> search only within the query's cell.
+
+The scale path for similarity search when random-hyperplane LSH recall is
+insufficient: the assign step is a pure projection (argmin over a
+broadcast centroid table), the per-cell search is a co-partitioned join —
+at 100 TB the table is bucketed by cell id so the search never shuffles
+candidates. Centroids here are seeded driver-side constants (a production
+pipeline would train them with KMeans and broadcast the model); both
+engines evaluate the identical literals, so the full pipeline gets a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import load, r6
+
+QUERIES = {}
+ORACLES = {}
+
+_DIM = 64
+_N_CELLS = 8
+_TOP_K = 5
+_N_QUERIES = 5
+
+_rng = random.Random(777)
+CENTROIDS = [
+    [round(_rng.gauss(0.0, 0.5), 6) for _ in range(_DIM)] for _ in range(_N_CELLS)
+]
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_DOT_DUCK = "list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip({a}, {b})])"
+_NORM = "aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+_NORM_DUCK = "list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])"
+
+
+def _lit_spark(vec: list[float]) -> str:
+    return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
+
+
+def _lit_duck(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+
+def _cell_expr(col: str, lit) -> str:
+    """argmin over centroids by squared L2 distance, deterministic
+    tie-break by centroid index (distances computed identically in both
+    engines — same literals, same fold order)."""
+    dot = _DOT if lit is _lit_spark else _DOT_DUCK
+    dists = []
+    for i, cvec in enumerate(CENTROIDS):
+        # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2 ; ||x||^2 common -> drop
+        c2 = sum(v * v for v in cvec)
+        dists.append(f"(({c2!r}) - 2.0 * {dot.format(a=col, b=lit(cvec))})")
+    arr = ", ".join(dists)
+    # index of minimum: compare each to the running LEAST
+    least = f"LEAST({arr})"
+    case = "CASE "
+    for i in range(_N_CELLS):
+        case += f"WHEN {dists[i]} = {least} THEN {i} "
+    case += "END"
+    return case
+
+
+@(lambda fn: (QUERIES.__setitem__("ann_ivf_topk", fn), fn)[1])
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign all vectors to cells, then top-k by cosine only
+    among same-cell candidates for the first _N_QUERIES vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell = F.expr(_cell_expr("embedding", _lit_spark))
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    c = assigned.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "cell")
+    j = F.broadcast(q).join(c, "cell").filter(F.col("q_id") != F.col("c_id"))
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.sqrt(F.expr(_NORM.format(a="qe"))) * F.sqrt(F.expr(_NORM.format(a="ce")))
+    )
+    scored = j.select("q_id", "cell", "c_id", r6(cos).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "cell", "c_id", "cosine", "rank")
+    )
+
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, {_cell_expr("embedding", _lit_duck)} AS cell
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, cell FROM assigned WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS c_id, embedding AS ce, cell FROM assigned),
+scored AS (
+  SELECT q_id, cell, c_id,
+    ROUND({_DOT_DUCK.format(a="qe", b="ce")}
+      / (SQRT({_NORM_DUCK.format(a="qe")}) * SQRT({_NORM_DUCK.format(a="ce")})), 6) AS cosine
+  FROM q JOIN c USING (cell) WHERE q_id <> c_id
+)
+SELECT q_id, cell, c_id, cosine, rank FROM (
+  SELECT q_id, cell, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""

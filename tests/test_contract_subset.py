@@ -1,0 +1,62 @@
+"""Fast in-pytest guard over the driver contract: a representative subset
+of registry queries vs their DuckDB oracles at sf0.001 (the full sweep is
+tools/check_contract.py; this keeps `pytest -x -q` self-sufficient)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_contract import normalize  # noqa: E402
+
+SUBSET = [
+    "scan_parquet",
+    "box_downsample_2x",
+    "paired_zip_check",
+    "windowed_moments",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "psi_ks_drift",
+    "salted_two_phase_agg",
+    "multimodal_decode_stub",
+    "featurize_text",
+]
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from ssimulacra2_spark.tables import STAR_TABLES
+
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    srows, scols = normalize(sdf)
+    orows, ocols = normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows
+
+
+def test_every_oracle_key_has_a_query():
+    import __spark_entry__ as entrymod
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # rows-only checks are the documented exceptions only
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= {"hll_tdigest_profile", "iir_smooth", "tdigest_quantiles"}
