@@ -79,7 +79,7 @@ def main() -> None:
     from ssimulacra2_spark.config import CheckSuiteConfig
     from ssimulacra2_spark.plans.suite import ValidationSuite
 
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(20_000_000 * sf))))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(40_000_000 * sf))))
     n_convs = max(1000, n_turns // 100)
     ref = make_transcripts(spark, n_turns, n_convs)
     cand = distort(ref)

@@ -12,7 +12,7 @@ config-driven so the same code path runs at sf0.001 and at 10^12 rows
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 from .constants import MIN_SIZE, NUM_SCALES, RADIUS, SCORE_PASS_THRESHOLD
 

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,7 +77,7 @@ def prepare(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     core-seconds per scan at 32M rows). This computes everything any check
     needs from `text` ONCE — length, xxhash, violation-forensics prefix,
     drift channels — and drops the payload. The result is ~100 B/row
-    columnar, cheap to cache (cfg.cache_inputs) or rescan. At 100 TB this
+    columnar, cheap to rescan or stage (cfg.cache_mode). At 100 TB this
     is also exactly the column pruning you want against Parquet/Iceberg:
     no check ever shuffles raw text."""
     from .drift_arrow import channel_expr

@@ -31,7 +31,6 @@ from ..constants import (
     CALIB_LINEAR,
     CALIB_POW,
     KERNEL_TAPS,
-    WEIGHTS,
 )
 from .checks import CheckOutput
 

@@ -75,7 +75,9 @@ class ParquetTableIO:
         ).write.mode("overwrite").parquet(vdir)
         if violations is not None:
             xdir = os.path.join(self.base_dir, "violations", f"run={run_id}", f"batch={batch}")
-            violations.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(xdir)
+            violations.withColumn("run_id", F.lit(run_id)).withColumn(
+                "written_at", F.current_timestamp()
+            ).write.mode("overwrite").parquet(xdir)
         m = self._load_manifest()
         pids = partition_ids if partition_ids is not None else []
         for pid in pids:
