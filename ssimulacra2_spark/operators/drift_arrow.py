@@ -150,9 +150,9 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     num_scales = cfg.num_scales
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        pdf = pdf.sort_values(["conv_key", "turn_idx"], kind="mergesort")
         pid = int(pdf["partition_id"].iloc[0])
-        conv = pdf["conv_id"].to_numpy()
+        conv = pdf["conv_key"].to_numpy()
         starts = np.ones(len(pdf), dtype=bool)
         starts[1:] = conv[1:] != conv[:-1]
         run_id0 = np.cumsum(starts)
@@ -189,19 +189,24 @@ def drift_score_check_arrow(
     from .checks import CheckOutput
     from .drift import calibrated_score
 
-    # consumes the prepare() projection (ch_<name> computed once per side)
+    # consumes the prepare() projection (ch_<name> computed once per side).
+    # The kernel needs conversation *boundaries*, not identities: a 64-bit
+    # conv_key replaces the conv_id string in the exchange and the
+    # in-batch sort (collisions merely merge two conversations' smoothing
+    # windows with ~1e-19 per-partition probability — far below the 1e-9
+    # score tolerance).
     r = ref.select(
         "partition_id",
-        "conv_id",
+        F.xxhash64("conv_id").alias("conv_key"),
         "turn_idx",
         *[F.col(f"ch_{ch}").alias(f"v1_{ch}") for ch in cfg.channels],
     )
     c = cand.select(
-        "conv_id",
+        F.xxhash64("conv_id").alias("conv_key"),
         "turn_idx",
         *[F.col(f"ch_{ch}").alias(f"v2_{ch}") for ch in cfg.channels],
     )
-    paired = r.join(c, ["conv_id", "turn_idx"])
+    paired = r.join(c, ["conv_key", "turn_idx"])
     partials = drift_partials(paired, cfg)
     metrics = (
         partials.groupBy("partition_id", "channel", "scale", "map")
