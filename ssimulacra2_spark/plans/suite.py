@@ -11,7 +11,6 @@ prunes file groups (≙ skip_frames fast-forward, video.rs:145-153).
 
 from __future__ import annotations
 
-import time
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
