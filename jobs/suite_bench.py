@@ -24,6 +24,16 @@ def main() -> None:
     p.add_argument("--convs", type=int, default=20_000)
     p.add_argument("--scales", type=int, default=4)
     p.add_argument("--buckets", type=int, default=32)
+    # kernel groups = buckets * drift_subbuckets; pick the product so one
+    # group's rows fit a pandas batch (config.py docstring). The bench's
+    # 1024 buckets are already fine-grained -> no extra fanout needed.
+    p.add_argument("--drift-subbuckets", type=int, default=1)
+    # untimed in-JVM warmup iterations before the timed run: measures
+    # steady-state throughput of a long-running service — JIT-compiled
+    # code, spawned+warmed python workers, and (critical on VMs whose
+    # first-touch page faults are serviced serially by the hypervisor,
+    # see tools/vm_pagefault_ceiling.py) an already-faulted working set
+    p.add_argument("--warmup", type=int, default=0)
     p.add_argument("--data-dir", default=None, help="reuse pre-generated pair")
     args = p.parse_args()
 
@@ -52,6 +62,7 @@ def main() -> None:
     cfg = CheckSuiteConfig(
         n_buckets=args.buckets,
         num_scales=args.scales,
+        drift_subbuckets=args.drift_subbuckets,
         checks=(
             "schema",
             "min_rows",
@@ -66,10 +77,15 @@ def main() -> None:
             "drift_score",
         ),
     )
+    def one_pass() -> None:
+        verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
+        verdicts.write.format("noop").mode("overwrite").save()
+        violations.write.format("noop").mode("overwrite").save()
+
+    for _ in range(args.warmup):
+        one_pass()
     t0 = time.time()
-    verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
-    verdicts.write.format("noop").mode("overwrite").save()
-    violations.write.format("noop").mode("overwrite").save()
+    one_pass()
     wall = time.time() - t0
     out = {
         "cores": cores,

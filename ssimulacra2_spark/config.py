@@ -86,6 +86,12 @@ class CheckSuiteConfig:
     # partition bucket (fast path); 'window' = pure Spark window
     # expressions (same math; useful for plan inspection / tiny inputs)
     drift_impl: str = "arrow"
+    # Arrow-path fanout WITHIN a verdict bucket: the applyInPandas group key
+    # is (partition_id, pmod(hash(conv_id), drift_subbuckets)) so one pandas
+    # batch holds ~rows/(n_buckets*drift_subbuckets) rows regardless of how
+    # coarse the verdict bucketing is. Conversations never straddle
+    # sub-buckets; partial sums merge downstream, so results are identical.
+    drift_subbuckets: int = 16
 
     # how check branches share the prepared compact projection:
     #   'none'    — each branch rescans the pruned source columns (cheap
@@ -99,6 +105,13 @@ class CheckSuiteConfig:
     #               featurization)
     cache_mode: str = "none"
     staging_dir: str | None = None
+
+    # checkpoint/resume commit granularity: when results are written
+    # through TableIO, the partition-id space is processed as this many
+    # independently committed slices (pid % commit_batches) — a crash
+    # preserves completed slices and the next run resumes from them.
+    # 1 = single commit at end of run (cheapest; no mid-run durability).
+    commit_batches: int = 4
 
     checks: tuple[str, ...] = (
         "schema",

@@ -57,12 +57,28 @@ def iir_smooth_series(x: np.ndarray, sigma: float = SIGMA) -> np.ndarray:
     return _ema(fwd[::-1], a)[::-1]
 
 
+def smooth_series(x: np.ndarray, sigma: float = SIGMA, kernel: str = "ema") -> np.ndarray:
+    """Kernel dispatch shared by the Spark UDF and the pandas oracle:
+      'ema'    — first-order forward-backward smoother (cheap default)
+      'biquad' — the reference's faithful 3-section recursive Gaussian
+                 (gaussian.rs:37-92; see functions/recursive_gaussian.py)
+    """
+    if kernel == "biquad":
+        from .recursive_gaussian import rg_smooth_series
+
+        return rg_smooth_series(x, sigma)
+    if kernel == "ema":
+        return iir_smooth_series(x, sigma)
+    raise ValueError(kernel)
+
+
 def iir_smooth_grouped(
     df: DataFrame,
     key: str,
     order_col: str,
     value_col: str,
     sigma: float = SIGMA,
+    kernel: str = "ema",
 ) -> DataFrame:
     """applyInPandas grouped-map: per-key ordered recurrence."""
     out_schema = StructType(
@@ -79,7 +95,9 @@ def iir_smooth_grouped(
             {
                 key: pdf[key].to_numpy(),
                 order_col: pdf[order_col].to_numpy(),
-                "smooth": np.round(iir_smooth_series(pdf[value_col].to_numpy(), sigma), 6),
+                "smooth": np.round(
+                    smooth_series(pdf[value_col].to_numpy(), sigma, kernel), 6
+                ),
             }
         )
 

@@ -114,10 +114,15 @@ def tdigest_quantiles(
     out_fields = [StructField("group", StringType())] + [
         StructField(f"p{int(q * 100)}", DoubleType()) for q in quantiles
     ]
+    # salt from row position, not the value: a hot group with a CONSTANT
+    # value (the degenerate skew case) must still fan out across buckets
     salted = df.select(
         F.col(group_col).cast("string").alias(group_col),
         F.col(value_col).alias(value_col),
-        F.pmod(F.xxhash64(value_col), F.lit(salt_buckets)).alias("_salt"),
+        F.pmod(
+            F.xxhash64(value_col, F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ).alias("_salt"),
     )
     partials = salted.groupBy(group_col, "_salt").applyInPandas(phase1, _DIGEST_SCHEMA)
     return partials.groupBy("group").applyInPandas(phase2, StructType(out_fields))

@@ -150,11 +150,12 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     num_scales = cfg.num_scales
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_key", "turn_idx"], kind="mergesort")
+        pdf = pdf.sort_values(["conv_key", "conv_key2", "turn_idx"], kind="mergesort")
         pid = int(pdf["partition_id"].iloc[0])
         conv = pdf["conv_key"].to_numpy()
+        conv2 = pdf["conv_key2"].to_numpy()
         starts = np.ones(len(pdf), dtype=bool)
-        starts[1:] = conv[1:] != conv[:-1]
+        starts[1:] = (conv[1:] != conv[:-1]) | (conv2[1:] != conv2[:-1])
         run_id0 = np.cumsum(starts)
         out = []
         for ch in channels:
@@ -177,7 +178,16 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
             columns=["partition_id", "channel", "scale", "map", "sum_d", "sum_d4", "n"],
         )
 
-    return paired.groupBy("partition_id").applyInPandas(fn, schema=_PARTIAL_SCHEMA)
+    # group by (partition_id, sub-bucket): a whole verdict bucket can be
+    # ~dataset/n_buckets rows — too big for one pandas batch at scale. The
+    # sub-bucket is a function of the conversation key, so conversations
+    # never straddle sub-buckets and the smoothing/rollup stays exact; the
+    # partial-sum schema (sum_d, sum_d4, n) merges across sub-buckets in
+    # the downstream groupBy for free. Per-task memory is then bounded by
+    # rows/(n_buckets * drift_subbuckets) * (2*channels + 3) doubles.
+    return paired.groupBy("partition_id", "drift_sub").applyInPandas(
+        fn, schema=_PARTIAL_SCHEMA
+    )
 
 
 def drift_score_check_arrow(
@@ -190,23 +200,30 @@ def drift_score_check_arrow(
     from .drift import calibrated_score
 
     # consumes the prepare() projection (ch_<name> computed once per side).
-    # The kernel needs conversation *boundaries*, not identities: a 64-bit
-    # conv_key replaces the conv_id string in the exchange and the
-    # in-batch sort (collisions merely merge two conversations' smoothing
-    # windows with ~1e-19 per-partition probability — far below the 1e-9
-    # score tolerance).
+    # The kernel needs conversation *boundaries*, not identities: a pair of
+    # independent 64-bit hashes (128 bits total) replaces the conv_id
+    # string in the exchange, the equi-join key and the in-batch sort. At
+    # 64 bits a birthday collision among ~1e9 conversations is ~n^2/2^65
+    # ≈ 1e-2 — a colliding pair sharing turn_idx values would produce
+    # spurious cross-conversation join matches. At 128 bits the same
+    # estimate is n^2/2^129 ≈ 1e-21: negligible, with a fixed-width
+    # 16-byte key still far cheaper to shuffle than arbitrary conv_ids.
+    drift_sub = F.pmod(F.xxhash64("conv_id", F.lit(3)), F.lit(cfg.drift_subbuckets))
     r = ref.select(
         "partition_id",
+        drift_sub.alias("drift_sub"),
         F.xxhash64("conv_id").alias("conv_key"),
+        F.xxhash64("conv_id", F.lit(7)).alias("conv_key2"),
         "turn_idx",
         *[F.col(f"ch_{ch}").alias(f"v1_{ch}") for ch in cfg.channels],
     )
     c = cand.select(
         F.xxhash64("conv_id").alias("conv_key"),
+        F.xxhash64("conv_id", F.lit(7)).alias("conv_key2"),
         "turn_idx",
         *[F.col(f"ch_{ch}").alias(f"v2_{ch}") for ch in cfg.channels],
     )
-    paired = r.join(c, ["conv_key", "turn_idx"])
+    paired = r.join(c, ["conv_key", "conv_key2", "turn_idx"])
     partials = drift_partials(paired, cfg)
     metrics = (
         partials.groupBy("partition_id", "channel", "scale", "map")

@@ -44,12 +44,18 @@ def column_stats(cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig) -> Ch
         "partition_id",
         f"stack({len(stat_cols)}, {stack_args}) AS (stat, value)",
     )
-    # verdict: null-rate gate on text (role/tool nullability is vocab's job)
-    verdicts = agg.select(
-        F.col("partition_id").cast("int"),
-        F.lit("column_stats").alias("check_id"),
-        (F.col("text_nulls") == 0).alias("passed"),
-        F.col("text_nulls").cast("long").alias("n_violations"),
-        F.col("len_mean").cast("double").alias("score"),
+    # verdict: null-rate gate on text (role/tool nullability is vocab's job).
+    # Left-join the partition universe so a bucket with no cand rows still
+    # gets an explicit verdict (vacuous pass: zero rows, zero null texts).
+    verdicts = (
+        parts.select("partition_id")
+        .join(agg, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int"),
+            F.lit("column_stats").alias("check_id"),
+            F.coalesce(F.col("text_nulls") == 0, F.lit(True)).alias("passed"),
+            F.coalesce(F.col("text_nulls"), F.lit(0)).cast("long").alias("n_violations"),
+            F.col("len_mean").cast("double").alias("score"),
+        )
     )
     return CheckOutput(verdicts=verdicts, metrics=metrics)

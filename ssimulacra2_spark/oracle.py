@@ -186,8 +186,10 @@ def drift_scores(
 # --------------------------------------------------------------------------
 
 
-def iir_smooth_frame(df: pd.DataFrame, key: str, order_col: str, value_col: str) -> pd.DataFrame:
-    from .functions.smoothing import iir_smooth_series
+def iir_smooth_frame(
+    df: pd.DataFrame, key: str, order_col: str, value_col: str, kernel: str = "ema"
+) -> pd.DataFrame:
+    from .functions.smoothing import smooth_series
 
     outs = []
     for k, g in df.groupby(key, sort=True):
@@ -197,7 +199,9 @@ def iir_smooth_frame(df: pd.DataFrame, key: str, order_col: str, value_col: str)
                 {
                     key: g[key].to_numpy(),
                     order_col: g[order_col].to_numpy(),
-                    "smooth": np.round(iir_smooth_series(g[value_col].to_numpy()), 6),
+                    "smooth": np.round(
+                        smooth_series(g[value_col].to_numpy(), kernel=kernel), 6
+                    ),
                 }
             )
         )

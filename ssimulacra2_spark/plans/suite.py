@@ -3,10 +3,22 @@ verdicts + violations with lineage, resumes per partition.
 
 Lifecycle (≙ SURVEY §3.2's fan-out path): config -> one logical DataFrame
 DAG per check -> Catalyst/AQE plan -> per-partition execution -> results
-MERGE -> driver summary. Resume: partitions whose verdicts are already
-committed for this run_id are filtered out of BOTH inputs up front — the
-filter sits directly above the scan, so on a bucket-partitioned table it
-prunes file groups (≙ skip_frames fast-forward, video.rs:145-153).
+MERGE -> driver summary.
+
+Resume: partitions whose verdicts are already COMMITTED for this run_id
+are anti-joined out of BOTH inputs up front — completion is derived from
+the results table itself (distinct partition_id of committed verdicts),
+never from a driver-side partition list, so nothing here is
+O(partitions). The filter sits directly above the scan, so on a
+bucket-partitioned table it prunes file groups (≙ skip_frames
+fast-forward, video.rs:145-153).
+
+Commit granularity: with `io`, work is split into cfg.commit_batches
+slices of the partition-id space (pid % commit_batches), each slice
+written+committed independently — a crash preserves completed batches and
+the next run resumes from them. Every per-partition check is
+partition-local (conversations never straddle buckets), so slicing by
+partition id is exact. commit_batches=1 keeps the single-commit behavior.
 """
 
 from __future__ import annotations
@@ -36,7 +48,32 @@ class ValidationSuite:
         run_id: str = "run0",
     ) -> tuple[DataFrame, DataFrame]:
         """Returns (verdicts, violations); if `io` is given, results are
-        written (MERGE) and already-completed partitions are skipped."""
+        written (MERGE) in cfg.commit_batches independent commits and
+        already-committed partitions are skipped."""
+        cfg = self.cfg
+        nb = max(1, cfg.commit_batches) if io is not None else 1
+        if nb == 1:
+            return self._run_slice(spark, ref, cand, io, run_id, None)
+        all_v: list[DataFrame] = []
+        all_x: list[DataFrame] = []
+        for b in range(nb):
+            v, x = self._run_slice(spark, ref, cand, io, run_id, (b, nb))
+            all_v.append(v)
+            all_x.append(x)
+        return (
+            reduce(DataFrame.unionByName, all_v),
+            reduce(DataFrame.unionByName, all_x),
+        )
+
+    def _run_slice(
+        self,
+        spark: SparkSession,
+        ref: DataFrame,
+        cand: DataFrame,
+        io: ParquetTableIO | None,
+        run_id: str,
+        batch: tuple[int, int] | None,
+    ) -> tuple[DataFrame, DataFrame]:
         cfg = self.cfg
         ref_raw, cand_raw = ref, cand
         # one-pass compact featurization shared by every check (text is
@@ -44,11 +81,17 @@ class ValidationSuite:
         ref = C.prepare(ref, cfg)
         cand = C.prepare(cand, cfg)
 
-        done: set[int] = io.completed_partitions(run_id) if io else set()
-        if done:
-            keep = ~F.col("partition_id").isin([int(p) for p in done])
-            ref = ref.filter(keep)
-            cand = cand.filter(keep)
+        if batch is not None:
+            b, nb = batch
+            in_batch = F.pmod(F.col("partition_id"), F.lit(nb)) == b
+            ref = ref.filter(in_batch)
+            cand = cand.filter(in_batch)
+
+        done = io.completed_partitions(spark, run_id) if io else None
+        if done is not None:
+            done = F.broadcast(done)
+            ref = ref.join(done, "partition_id", "left_anti")
+            cand = cand.join(done, "partition_id", "left_anti")
 
         if cfg.cache_mode == "memory":
             ref = ref.persist()
@@ -63,9 +106,20 @@ class ValidationSuite:
             cand = spark.read.parquet(f"{d}/cand_{run_id}")
 
         ref_parts = C.partition_counts(ref).cache()
-        cand_parts = C.partition_counts(cand)
-        parts = ref_parts
+        cand_parts = C.partition_counts(cand).cache()
+        # verdict universe = every partition with data on EITHER side: a
+        # bucket holding only candidate rows must still get explicit
+        # verdict rows for every check (a consumer reading verdicts alone
+        # would otherwise silently miss its failures)
+        parts = (
+            ref_parts.select("partition_id")
+            .unionByName(cand_parts.select("partition_id"))
+            .distinct()
+        )
         enabled = set(cfg.checks)
+        if batch is not None and batch[0] != 0:
+            # driver-side schema verdict is batch-independent: emit it once
+            enabled = enabled - {"schema"}
 
         # --- violation-producing checks: build all branches, union, and
         # persist ONCE — verdict counts then reuse the persisted rows
@@ -96,7 +150,12 @@ class ValidationSuite:
         if "schema" in enabled:
             outputs.append(C.schema_check(spark, ref_raw, cand_raw, cfg))
         if "min_rows" in enabled:
-            outputs.append(C.min_rows_check(ref_parts, cfg))
+            # universe-complete ref volumes: a cand-only bucket has 0 ref
+            # rows and must FAIL the volume guard explicitly
+            ref_universe = (
+                parts.join(ref_parts, "partition_id", "left").fillna(0, ["n_rows"])
+            )
+            outputs.append(C.min_rows_check(ref_universe, cfg))
         if "row_parity" in enabled:
             outputs.append(C.row_parity_check(ref_parts, cand_parts, cfg))
         if "column_stats" in enabled:
@@ -137,8 +196,7 @@ class ValidationSuite:
             verdicts = verdicts.unionByName(viol_verdicts)
 
         if io is not None:
-            pids = [r.partition_id for r in parts.select("partition_id").collect()]
-            io.write_results(run_id, verdicts, violations, partition_ids=pids)
+            io.write_results(run_id, verdicts, violations)
         return verdicts, violations
 
 

@@ -22,13 +22,27 @@ ORACLES = {}
 # Deterministic MinHash parameters (seeded; analog of build-time constant
 # folding — computed once on the driver, embedded as literals).
 _P = 2147483647  # Mersenne prime 2^31 - 1
+
+# Demo config for the DuckDB-checked registry entries: 8 hashes, 2 bands x
+# 4 rows (precision-heavy — the verify stage downstream is
+# dedup_ngram_jaccard). PRODUCTION recall needs far more permutations:
+# minhash_params(128, 16) gives the standard 128-perm / 16-band x 8-row
+# config — every SQL below is generated from params, so the scale config
+# is one argument away; only the demo values are oracle-pinned.
 _NUM_HASHES = 8
-_BANDS = 2  # 2 bands x 4 rows: high-precision bands — candidate-pair
-# density stays manageable on vocabulary-dense corpora (the verify stage
-# downstream is dedup_ngram_jaccard)
-_ROWS_PER_BAND = _NUM_HASHES // _BANDS
-_rng = random.Random(42)
-_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_HASHES)]
+_BANDS = 2
+
+
+def minhash_params(num_hashes: int = _NUM_HASHES, bands: int = _BANDS, seed: int = 42):
+    """Seeded (a, b) coefficient pairs for `num_hashes` permutations of
+    h(x) = (a*x + b) mod P, grouped into `bands` bands."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rng = random.Random(seed)
+    ab = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    return ab, num_hashes // bands
+
+
+_AB, _ROWS_PER_BAND = minhash_params()
 
 # Dialect-neutral token hash: cheap, deterministic, SQL-expressible in both
 # engines. (At scale the engine would use xxhash64; the checked demo needs a
@@ -82,30 +96,35 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 # --------------------------------------------------------------------------
 
 
-def _minhash_sig_exprs() -> list[str]:
+def _minhash_sig_exprs(ab) -> list[str]:
     return [
         f"MIN(({a} * th + {b}) % {_P}) AS sig{i}"
-        for i, (a, b) in enumerate(_AB)
+        for i, (a, b) in enumerate(ab)
     ]
 
 
-def _minhash_sql(dialect: str) -> str:
+def _minhash_ctes(
+    dialect: str, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
+    """CTE chain ending in `pairs(doc_a, doc_b)` — shared by the pair query
+    and the cluster query; parameterized so production configs (e.g.
+    128 hashes / 16 bands) reuse the identical pipeline."""
+    ab, rows_per_band = minhash_params(num_hashes, bands)
     tokens = _tokens_sql() if dialect == "spark" else _tokens_sql_duck()
-    sigs = ", ".join(_minhash_sig_exprs())
+    sigs = ", ".join(_minhash_sig_exprs(ab))
     band_keys = []
-    for b in range(_BANDS):
+    for b in range(bands):
         parts = " || '_' || ".join(
-            f"CAST(sig{b * _ROWS_PER_BAND + i} AS STRING)" for i in range(_ROWS_PER_BAND)
+            f"CAST(sig{b * rows_per_band + i} AS STRING)" for i in range(rows_per_band)
         )
         band_keys.append(f"{parts} AS band{b}")
     band_cols = ", ".join(band_keys)
     band_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM sigs" for b in range(_BANDS)
+        f"SELECT doc_id, {b} AS band, band{b} AS bkey FROM sigs" for b in range(bands)
     )
     cast_str = "STRING" if dialect == "spark" else "VARCHAR"
     band_cols = band_cols.replace("STRING", cast_str)
-    return f"""
-WITH tok AS ({tokens}),
+    return f"""tok AS ({tokens}),
 th AS (SELECT doc_id, CAST({_TOKHASH} AS BIGINT) AS th FROM tok),
 rawsigs AS (SELECT doc_id, {sigs} FROM th GROUP BY doc_id),
 sigs AS (SELECT doc_id, {band_cols} FROM rawsigs),
@@ -113,7 +132,12 @@ bands AS ({band_union}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_sql(dialect: str) -> str:
+    return f"""
+WITH {_minhash_ctes(dialect)}
 SELECT doc_a, doc_b FROM pairs
 """
 
@@ -122,8 +146,8 @@ QUERIES["dedup_minhash_lsh"] = lambda spark, sf_dir: shared_sql(
     spark, sf_dir, _minhash_sql("spark"), ["documents"]
 )
 QUERIES["dedup_minhash_lsh"].__doc__ = (
-    "MinHash+LSH near-dup: token shingles -> 8 minhash signatures -> 4 "
-    "bands of 2 -> bucket self-join for candidate pairs. Scale path: the "
+    "MinHash+LSH near-dup: token shingles -> 8 minhash signatures -> 2 "
+    "bands of 4 rows -> bucket self-join for candidate pairs. Scale path: the "
     "band self-join shuffles on (band, bkey) — uniform keys; signature agg "
     "is a map-side-combinable MIN. Demo hash is dialect-neutral so the "
     "DuckDB oracle runs the identical pipeline."
@@ -231,6 +255,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot / (F.sqrt(na) * F.sqrt(nb))
     from ._util import r6
     return j.select("vec_a", "vec_b", r6(cos).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components + keeper election
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_clusters", fn), fn)[1])
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph,
+    electing one keeper per duplicate cluster (min doc_id = cluster id).
+
+    Spark path: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; terminates
+    when the label sum stops changing (labels are monotone non-increasing,
+    so the sum is a convergence certificate). Rounds are bounded by the
+    component diameter; LSH components are unions of band-bucket cliques,
+    so diameters are tiny. Each round persists + breaks lineage. At 10^12
+    rows the same loop runs with the large-star/small-star optimization
+    (alternating conditional stars), still O(log n) rounds of uniform-key
+    shuffles — never a driver-side graph.
+
+    Oracle: DuckDB recursive CTE computing min reachable node per node."""
+    pairs = shared_sql(spark, sf_dir, _minhash_sql("spark"), ["documents"])
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(16):  # bound >> any demo component diameter
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("v_label")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min.withColumnRenamed("u", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # materialize + truncate lineage per round
+        )
+        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_minhash_ctes("duck")},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_keeper
+FROM walk GROUP BY node
+"""
 
 
 ORACLES["dedup_embedding_cosine"] = """

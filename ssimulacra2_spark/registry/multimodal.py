@@ -141,11 +141,11 @@ def hll_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @(lambda fn: (QUERIES.__setitem__("iir_smooth", fn), fn)[1])
 def iir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Faithful recursive-Gaussian smoothing (ref: cascaded-biquad IIR,
-    gaussian.rs:37-92) per user over event order, vectorized numpy inside
-    applyInPandas (Arrow batches, one group per conversation/user; no
-    per-row Python). No SQL oracle — a stateful recurrence is not
-    SQL-expressible; pytest pins it against the pandas oracle instead."""
+    """Recursive smoothing per user over event order — this entry runs the
+    CHEAP first-order forward-backward EMA variant (kernel='ema',
+    functions/smoothing.py). The faithful reference kernel is the separate
+    iir_smooth_biquad entry. Stateful recurrences are not SQL-expressible;
+    pytest pins both against the pandas oracle instead (test_smoothing)."""
     from ..functions.smoothing import iir_smooth_grouped
 
     ev = load(spark, sf_dir, "events")
@@ -153,3 +153,22 @@ def iir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # no ORACLES entry for iir_smooth (stateful recurrence; pytest-pinned)
+
+
+@(lambda fn: (QUERIES.__setitem__("iir_smooth_biquad", fn), fn)[1])
+def iir_smooth_biquad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful recursive-Gaussian smoothing — the reference's 3-section
+    truncated-cosine IIR (gaussian.rs:37-92, coefficients per
+    build.rs:24-117) as kernel='biquad' (functions/recursive_gaussian.py),
+    vectorized numpy inside applyInPandas. No SQL oracle — a 2nd-order
+    stateful recurrence is not SQL-expressible; pytest pins Spark == pandas
+    oracle bit-exact (test_smoothing.py::test_biquad_grouped_matches_oracle)."""
+    from ..functions.smoothing import iir_smooth_grouped
+
+    ev = load(spark, sf_dir, "events")
+    return iir_smooth_grouped(
+        ev, key="user_id", order_col="event_id", value_col="value", kernel="biquad"
+    )
+
+
+# no ORACLES entry for iir_smooth_biquad (stateful recurrence; pytest-pinned)

@@ -42,9 +42,11 @@ _NORM_DUCK = "list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])"
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the first _N_QUERIES vectors against the
     whole table. Scale path: queries are broadcast (tiny side), candidates
-    stream through; per-query top-k is a windowed rank — at 100 TB replace
-    the global window with a per-partition top-k + re-rank of the k*P
-    survivors (no single-partition sort)."""
+    stream through; the top-k is TWO-PHASE — a per-input-partition top-k
+    (keyed on (q_id, scan partition), so the first shuffle spreads over
+    q*P reducers instead of funneling everything to q reducers) followed
+    by an exact re-rank of the <= k*P survivors per query. Identical
+    result to a single global window; no single-reducer sort at 100 TB."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
@@ -54,10 +56,20 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(_DOT_SPARK.format(a="qe", b="ce"))
     cos = dot / (F.sqrt(F.expr(_NORM_SPARK.format(a="qe"))) * F.sqrt(F.expr(_NORM_SPARK.format(a="ce"))))
     from ._util import r6
-    scored = j.select("q_id", "c_id", r6(cos).alias("cosine"))
+    scored = j.select(
+        "q_id", "c_id", r6(cos).alias("cosine"), F.spark_partition_id().alias("scan_part")
+    )
+    w_local = Window.partitionBy("q_id", "scan_part").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    survivors = (
+        scored.withColumn("r_local", F.row_number().over(w_local))
+        .filter(F.col("r_local") <= _TOP_K)
+        .drop("r_local", "scan_part")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "c_id", "cosine", "rank")
     )
@@ -117,3 +129,121 @@ ORACLES["ann_lsh_bucketed"] = (
     )
     + " AS bucket FROM embeddings) GROUP BY bucket"
 )
+
+
+# --------------------------------------------------------------------------
+# LSH retrieval: query -> multi-probe buckets -> candidate join -> top-k
+# --------------------------------------------------------------------------
+
+
+def _bucket_expr(dialect: str, col: str) -> str:
+    dot = _DOT_SPARK if dialect == "spark" else _DOT_DUCK
+    lit = _plane_literal_spark if dialect == "spark" else _plane_literal_duck
+    return " + ".join(
+        f"(CASE WHEN {dot.format(a=col, b=lit(p))} > 0.0 THEN 1 ELSE 0 END) * {1 << i}"
+        for i, p in enumerate(HYPERPLANES)
+    )
+
+
+def _lsh_topk_ctes(dialect: str) -> str:
+    """Shared CTE chain: bucket candidates, multi-probe query buckets
+    (exact + Hamming-1), join within buckets, cosine-score, rank."""
+    dot = _DOT_SPARK if dialect == "spark" else _DOT_DUCK
+    norm = _NORM_SPARK if dialect == "spark" else _NORM_DUCK
+    # multi-probe at Hamming distance <= 2: 1 + 6 + 15 = 22 of the 64
+    # buckets (~34% of candidates) — measured mean recall@10 ~0.5 on the
+    # isotropic synthetic embeddings vs ~0.2 at Hamming <= 1 (random
+    # vectors are LSH's worst case; clustered real corpora do far better)
+    flips = [0] + [1 << i for i in range(_N_PLANES)] + [
+        (1 << i) | (1 << j)
+        for i in range(_N_PLANES)
+        for j in range(i + 1, _N_PLANES)
+    ]
+    if dialect == "spark":
+        flip_src = f"(SELECT explode(array({', '.join(map(str, flips))})) AS flip)"
+        xor = "(qbucket ^ flip)"
+    else:
+        flip_src = f"(SELECT unnest([{', '.join(map(str, flips))}]) AS flip)"
+        xor = "xor(qbucket, flip)"
+    return f"""
+cb AS (SELECT vec_id AS c_id, embedding AS ce, {_bucket_expr(dialect, "embedding")} AS bucket
+       FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qe, {_bucket_expr(dialect, "embedding")} AS qbucket
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+probes AS (SELECT q_id, qe, {xor} AS bucket FROM q CROSS JOIN {flip_src} f),
+scored AS (
+  SELECT q_id, c_id,
+    ROUND({dot.format(a="qe", b="ce")}
+      / (SQRT({norm.format(a="qe")}) * SQRT({norm.format(a="ce")})), 6) AS cosine
+  FROM probes JOIN cb ON probes.bucket = cb.bucket
+  WHERE c_id <> q_id
+),
+lsh_ranked AS (
+  SELECT q_id, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)"""
+
+
+def _lsh_topk_sql(dialect: str) -> str:
+    return f"""
+WITH {_lsh_topk_ctes(dialect)}
+SELECT q_id, c_id, cosine, rank FROM lsh_ranked WHERE rank <= {_TOP_K}
+"""
+
+
+def _lsh_recall_sql(dialect: str) -> str:
+    """recall@k of the LSH retrieval vs exact brute force, per query."""
+    dot = _DOT_SPARK if dialect == "spark" else _DOT_DUCK
+    norm = _NORM_SPARK if dialect == "spark" else _NORM_DUCK
+    return f"""
+WITH {_lsh_topk_ctes(dialect)},
+bf_scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+    ROUND({dot.format(a="qe", b="c.embedding")}
+      / (SQRT({norm.format(a="qe")}) * SQRT({norm.format(a="c.embedding")})), 6) AS cosine
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+),
+bf_ranked AS (
+  SELECT q_id, c_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM bf_scored
+),
+hits AS (
+  SELECT b.q_id, CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM (SELECT * FROM bf_ranked WHERE rank <= {_TOP_K}) b
+  LEFT JOIN (SELECT * FROM lsh_ranked WHERE rank <= {_TOP_K}) l
+    ON b.q_id = l.q_id AND b.c_id = l.c_id
+)
+SELECT q_id, ROUND(CAST(SUM(hit) AS DOUBLE) / {_TOP_K}, 6) AS recall_at_k
+FROM hits GROUP BY q_id
+"""
+
+
+QUERIES["ann_lsh_topk"] = lambda spark, sf_dir: _run_shared(spark, sf_dir, _lsh_topk_sql("spark"))
+QUERIES["ann_lsh_topk"].__doc__ = (
+    "ANN retrieval via LSH buckets: query vectors hash to a bucket, "
+    "multi-probe (exact + all Hamming-1 neighbor buckets) widens recall, "
+    "candidates join WITHIN buckets only, then per-query cosine top-k. "
+    "Scale path: the candidate join shuffles on near-uniform bucket ids — "
+    "never all-pairs; the per-query window ranks only the in-bucket "
+    "survivors (~N/2^planes * probes rows per query). Reference analog of "
+    "the scored fan-out returning ranked results: "
+    "/root/reference/ssimulacra2_bin/src/video.rs:407-456,484-495."
+)
+ORACLES["ann_lsh_topk"] = _lsh_topk_sql("duck")
+
+QUERIES["ann_lsh_recall"] = lambda spark, sf_dir: _run_shared(spark, sf_dir, _lsh_recall_sql("spark"))
+QUERIES["ann_lsh_recall"].__doc__ = (
+    "recall@k of ann_lsh_topk measured against the exact brute-force "
+    "ranking, per query — the quality gate for the bucketed scale path. "
+    "The brute-force arm exists only to score recall at demo scale; at "
+    "100 TB one measures recall on a sampled query set the same way."
+)
+ORACLES["ann_lsh_recall"] = _lsh_recall_sql("duck")
+
+
+def _run_shared(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ._util import shared_sql
+
+    return shared_sql(spark, sf_dir, sql, ["embeddings"])

@@ -2,14 +2,22 @@
 
 Iceberg semantics behind a thin seam (SURVEY §7.0): this sandbox has no
 Iceberg runtime jar, so the default backend is partitioned Parquet plus a
-JSON manifest providing the three Iceberg behaviors the engine relies on:
+tiny JSON manifest providing the three Iceberg behaviors the engine
+relies on:
 
   * snapshot read        -> read a parquet dir (immutable by convention)
-  * MERGE results        -> append parquet + manifest keyed by
-                            (run_id, partition_id, check_id); readers
-                            dedupe on the newest write
-  * resume from checkpoint -> completed (run_id, partition_id) keys listed
-                            in the manifest; the suite anti-joins them out
+  * MERGE results        -> append parquet per commit batch; the manifest
+                            entry is ONLY a commit marker (an append
+                            without a marker is invisible to readers —
+                            write-then-commit crash atomicity, like an
+                            Iceberg snapshot commit)
+  * resume from checkpoint -> completed partitions are derived from the
+                            COMMITTED VERDICTS TABLE ITSELF (distinct
+                            partition_id scan + anti-join in the suite).
+                            Nothing driver-side is O(partitions): the
+                            manifest holds one entry per commit batch, not
+                            per partition, so a 10^6-partition run still
+                            carries a ~KB manifest.
 
 Swap `IcebergTableIO` in (same API) when a catalog is available; the plan
 shape does not change.
@@ -36,12 +44,12 @@ class ParquetTableIO:
     def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
 
-    # -- manifest -----------------------------------------------------------
+    # -- manifest (batch-level commit markers only) --------------------------
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return json.load(f)
-        return {"writes": []}
+        return {"commits": []}
 
     def _save_manifest(self, m: dict) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -49,25 +57,39 @@ class ParquetTableIO:
             json.dump(m, f, indent=1)
         os.replace(tmp, self.manifest_path)
 
-    # -- results ------------------------------------------------------------
-    def completed_partitions(self, run_id: str) -> set[int]:
+    def committed_batches(self, run_id: str) -> list[str]:
         m = self._load_manifest()
-        return {
-            w["partition_id"]
-            for w in m["writes"]
-            if w["run_id"] == run_id and w.get("complete", False)
-        }
+        return [c["batch"] for c in m.get("commits", []) if c["run_id"] == run_id]
+
+    # -- results ------------------------------------------------------------
+    def completed_partitions(self, spark: SparkSession, run_id: str) -> DataFrame | None:
+        """Distinct partition ids already verdicted for this run, as a
+        DataFrame (the suite anti-joins it against the inputs — no
+        driver-side partition list, per the 10^12-row design point).
+        Derived from the committed verdicts table, not from any manifest
+        bookkeeping. None if nothing is committed yet."""
+        batches = self.committed_batches(run_id)
+        if not batches:
+            return None
+        v = self._read_batches(spark, "verdicts", run_id, batches)
+        return v.filter(F.col("partition_id") >= 0).select("partition_id").distinct()
+
+    def completed_partition_set(self, spark: SparkSession, run_id: str) -> set[int]:
+        """Test/driver convenience (collects — never call in an engine path)."""
+        df = self.completed_partitions(spark, run_id)
+        if df is None:
+            return set()
+        return {r.partition_id for r in df.collect()}
 
     def write_results(
         self,
         run_id: str,
         verdicts: DataFrame,
         violations: DataFrame | None,
-        partition_ids: list[int] | None = None,
-    ) -> None:
-        """MERGE-equivalent: append a new parquet fileset, then commit the
-        manifest entry (write-then-commit gives crash atomicity: an append
-        without a manifest entry is invisible to readers)."""
+    ) -> str:
+        """MERGE-equivalent: append a new parquet fileset, then commit ONE
+        manifest marker for the batch (write-then-commit gives crash
+        atomicity: an append without a marker is invisible to readers)."""
         batch = uuid.uuid4().hex[:12]
         vdir = os.path.join(self.base_dir, "verdicts", f"run={run_id}", f"batch={batch}")
         verdicts.withColumn("run_id", F.lit(run_id)).withColumn(
@@ -79,27 +101,26 @@ class ParquetTableIO:
                 "written_at", F.current_timestamp()
             ).write.mode("overwrite").parquet(xdir)
         m = self._load_manifest()
-        pids = partition_ids if partition_ids is not None else []
-        for pid in pids:
-            m["writes"].append(
-                {
-                    "run_id": run_id,
-                    "partition_id": int(pid),
-                    "batch": batch,
-                    "ts": time.time(),
-                    "complete": True,
-                }
-            )
-        if not pids:
-            m["writes"].append(
-                {"run_id": run_id, "partition_id": -1, "batch": batch, "ts": time.time(), "complete": True}
-            )
+        m.setdefault("commits", []).append(
+            {"run_id": run_id, "batch": batch, "ts": time.time()}
+        )
         self._save_manifest(m)
+        return batch
+
+    def _read_batches(
+        self, spark: SparkSession, kind: str, run_id: str, batches: list[str]
+    ) -> DataFrame:
+        paths = [
+            os.path.join(self.base_dir, kind, f"run={run_id}", f"batch={b}")
+            for b in batches
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        return spark.read.parquet(*paths)
 
     def read_verdicts(self, spark: SparkSession, run_id: str) -> DataFrame:
-        path = os.path.join(self.base_dir, "verdicts", f"run={run_id}")
-        df = spark.read.parquet(path)
-        # MERGE semantics on read: newest write per (partition_id, check_id)
+        """Committed batches only (uncommitted appends are invisible);
+        MERGE semantics on read: newest write per (partition_id, check_id)."""
+        df = self._read_batches(spark, "verdicts", run_id, self.committed_batches(run_id))
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("partition_id", "check_id").orderBy(F.col("written_at").desc())
@@ -108,5 +129,6 @@ class ParquetTableIO:
         )
 
     def read_violations(self, spark: SparkSession, run_id: str) -> DataFrame:
-        path = os.path.join(self.base_dir, "violations", f"run={run_id}")
-        return spark.read.parquet(path)
+        return self._read_batches(
+            spark, "violations", run_id, self.committed_batches(run_id)
+        )

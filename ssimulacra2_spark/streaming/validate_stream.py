@@ -76,24 +76,45 @@ def _monotone_state_fn(
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: per-conversation strictly-increasing
     turn_idx across micro-batches (≙ the atomically claimed, strictly
-    increasing frame index, video.rs:159-161). State: (last_turn, n_seen)."""
+    increasing frame index, video.rs:159-161). State: (last_turn, n_seen).
+
+    Vectorized (no per-row Python, per the north rule): after sorting a
+    batch ascending, the "last accepted turn" seen by row i is
+    max(carried_last, t[i-1]) — so the violation mask is a single
+    elementwise compare; only actual violations (rare) format messages."""
+    import numpy as np
+
     (conv_id,) = key
     if state.exists:
         last_turn, n_seen = state.get
     else:
         last_turn, n_seen = -1, 0
-    out = []
+    outs = []
     for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
-        for t in pdf["turn_idx"].astype(int):
-            if t <= last_turn:
-                out.append((conv_id, t, f"turn_idx {t} <= last seen {last_turn}"))
-            else:
-                last_turn = t
-            n_seen += 1
-    state.update((last_turn, n_seen))
-    if out:
-        yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "violation"])
+        t = np.sort(pdf["turn_idx"].to_numpy(np.int64))
+        n_seen += len(t)
+        if len(t) == 0:
+            continue
+        prev = np.empty_like(t)
+        prev[0] = last_turn
+        np.maximum(t[:-1], last_turn, out=prev[1:])
+        bad = t <= prev
+        if bad.any():
+            tb, pb = t[bad], prev[bad]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": tb.astype("int32"),
+                        "violation": [
+                            f"turn_idx {x} <= last seen {p}" for x, p in zip(tb, pb)
+                        ],
+                    }
+                )
+            )
+        last_turn = int(max(last_turn, t[-1]))
+    state.update((int(last_turn), int(n_seen)))
+    yield from outs
 
 
 def monotone_stream(stream: DataFrame) -> DataFrame:

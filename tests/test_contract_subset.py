@@ -59,4 +59,4 @@ def test_every_oracle_key_has_a_query():
     assert set(os_) <= set(qs)
     # rows-only checks are the documented exceptions only
     rows_only = set(qs) - set(os_)
-    assert rows_only <= {"hll_tdigest_profile", "iir_smooth", "tdigest_quantiles"}
+    assert rows_only <= {"hll_tdigest_profile", "iir_smooth", "iir_smooth_biquad", "tdigest_quantiles"}

@@ -1,7 +1,12 @@
-"""Checkpoint/resume: interrupted runs skip completed partitions and the
-final results table is identical (SURVEY §5.2 item 5)."""
+"""Checkpoint/resume: interrupted runs skip committed partitions and the
+final results table is identical (SURVEY §5.2 item 5).
+
+Completion is derived from the committed verdicts table itself (distinct
+partition_id anti-join) — the manifest is only a batch commit marker."""
 
 from __future__ import annotations
+
+from dataclasses import replace
 
 from pyspark.sql import functions as F
 
@@ -13,7 +18,8 @@ def test_resume_skips_completed(spark, synth_tables, tmp_path):
     t = synth_tables
     ref = t["ref"].drop("partition_id")
     cand = t["cand"].drop("partition_id")
-    suite = ValidationSuite(t["cfg"])
+    cfg = replace(t["cfg"], commit_batches=1)
+    suite = ValidationSuite(cfg)
 
     io = ParquetTableIO(str(tmp_path / "results"))
     suite.run(spark, ref, cand, io=io, run_id="full")
@@ -21,26 +27,30 @@ def test_resume_skips_completed(spark, synth_tables, tmp_path):
         (r.partition_id, r.check_id): (r.passed, r.n_violations)
         for r in io.read_verdicts(spark, "full").collect()
     }
-    all_pids = sorted(io.completed_partitions("full"))
-    assert len(all_pids) == t["cfg"].n_buckets
+    all_pids = sorted(io.completed_partition_set(spark, "full"))
+    assert len(all_pids) == cfg.n_buckets
 
     # simulate an interrupted run: only half the partitions committed
     io2 = ParquetTableIO(str(tmp_path / "results2"))
     k = len(all_pids) // 2
-    suite2 = ValidationSuite(t["cfg"])
+    suite2 = ValidationSuite(cfg)
     done_subset = all_pids[:k]
     keep = F.col("partition_id").isin([int(p) for p in done_subset])
     from ssimulacra2_spark.operators.checks import with_partition_id
 
-    ref_done = with_partition_id(ref, t["cfg"]).filter(keep).drop("partition_id")
-    cand_done = with_partition_id(cand, t["cfg"]).filter(keep).drop("partition_id")
+    ref_done = with_partition_id(ref, cfg).filter(keep).drop("partition_id")
+    cand_done = with_partition_id(cand, cfg).filter(keep).drop("partition_id")
     suite2.run(spark, ref_done, cand_done, io=io2, run_id="r")
-    assert set(io2.completed_partitions("r")) == set(done_subset)
+    assert io2.completed_partition_set(spark, "r") == set(done_subset)
 
     # resume with the full inputs: only the remaining partitions compute
     verdicts2, _ = suite2.run(spark, ref, cand, io=io2, run_id="r")
     new_pids = {
-        r.partition_id for r in verdicts2.filter(F.col("partition_id") >= 0).select("partition_id").distinct().collect()
+        r.partition_id
+        for r in verdicts2.filter(F.col("partition_id") >= 0)
+        .select("partition_id")
+        .distinct()
+        .collect()
     }
     assert new_pids == set(all_pids[k:])
 
@@ -52,3 +62,60 @@ def test_resume_skips_completed(spark, synth_tables, tmp_path):
     }
     full_pp = {k2: v for k2, v in full.items() if k2[0] >= 0}
     assert merged == full_pp
+
+
+def test_batched_commits_preserve_completed_slices(spark, synth_tables, tmp_path, monkeypatch):
+    """With commit_batches > 1, a crash mid-run preserves the batches
+    already committed; resume computes only the missing partitions and the
+    merged table equals a clean run."""
+    t = synth_tables
+    ref = t["ref"].drop("partition_id")
+    cand = t["cand"].drop("partition_id")
+    cfg = replace(t["cfg"], commit_batches=4)
+
+    # clean single run for the expected result
+    io_full = ParquetTableIO(str(tmp_path / "full"))
+    ValidationSuite(cfg).run(spark, ref, cand, io=io_full, run_id="full")
+    expected = {
+        (r.partition_id, r.check_id): (r.passed, r.n_violations)
+        for r in io_full.read_verdicts(spark, "full").collect()
+    }
+    assert len(io_full.committed_batches("full")) == 4
+
+    # crash after 2 of 4 commits
+    io = ParquetTableIO(str(tmp_path / "crashy"))
+    orig = ParquetTableIO.write_results
+    calls = {"n": 0}
+
+    def crashing(self, run_id, verdicts, violations):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return orig(self, run_id, verdicts, violations)
+
+    monkeypatch.setattr(ParquetTableIO, "write_results", crashing)
+    try:
+        ValidationSuite(cfg).run(spark, ref, cand, io=io, run_id="r")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ParquetTableIO, "write_results", orig)
+    committed_mid = io.completed_partition_set(spark, "r")
+    assert 0 < len(committed_mid) < cfg.n_buckets
+
+    # resume: remaining slices compute; committed partitions are skipped
+    verdicts2, _ = ValidationSuite(cfg).run(spark, ref, cand, io=io, run_id="r")
+    recomputed = {
+        r.partition_id
+        for r in verdicts2.filter(F.col("partition_id") >= 0)
+        .select("partition_id")
+        .distinct()
+        .collect()
+    }
+    assert recomputed.isdisjoint(committed_mid)
+
+    merged = {
+        (r.partition_id, r.check_id): (r.passed, r.n_violations)
+        for r in io.read_verdicts(spark, "r").collect()
+        if r.partition_id >= 0
+    }
+    assert merged == {k: v for k, v in expected.items() if k[0] >= 0}
