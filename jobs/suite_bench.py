@@ -34,6 +34,10 @@ def main() -> None:
     # first-touch page faults are serviced serially by the hypervisor,
     # see tools/vm_pagefault_ceiling.py) an already-faulted working set
     p.add_argument("--warmup", type=int, default=0)
+    # how branches share the prepared projection: none|memory|staging
+    # (config.py docstring; 'memory' persists the compact featurized
+    # columns once instead of re-decoding text per check branch)
+    p.add_argument("--cache-mode", default="none")
     p.add_argument("--data-dir", default=None, help="reuse pre-generated pair")
     args = p.parse_args()
 
@@ -63,6 +67,7 @@ def main() -> None:
         n_buckets=args.buckets,
         num_scales=args.scales,
         drift_subbuckets=args.drift_subbuckets,
+        cache_mode=args.cache_mode,
         checks=(
             "schema",
             "min_rows",
@@ -81,6 +86,7 @@ def main() -> None:
         verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
         verdicts.write.format("noop").mode("overwrite").save()
         violations.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # drop per-pass persisted frames
 
     for _ in range(args.warmup):
         one_pass()

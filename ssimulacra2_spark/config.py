@@ -74,6 +74,11 @@ class CheckSuiteConfig:
 
     # skew handling: two-phase salted aggregation fanout for hot conv_ids
     salt_buckets: int = 8
+    # monotone check chunking: the adjacent-turn lag runs per
+    # (conv_id, turn_idx div monotone_chunk_turns) so a hot conversation
+    # spreads over n_turns/chunk tasks; chunk-boundary pairs are checked
+    # over a tiny per-chunk summary (see checks.monotone_ts_violations)
+    monotone_chunk_turns: int = 8192
     # treat a conversation as "hot" above this many turns (doc only; the
     # salted path is applied unconditionally — it is a pure win when cheap)
     hot_conv_turns: int = 100_000

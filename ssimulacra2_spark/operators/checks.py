@@ -231,15 +231,51 @@ def uniqueness_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
 
 
 def monotone_ts_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    lagged = cand.select(
+    """Adjacent-turn ordering check WITHOUT a whole-conversation window.
+
+    A plain Window.partitionBy(conv_id) serializes a hot conversation onto
+    one task (the north-rule skew case: one conv holding 5% of all turns).
+    Two-phase instead, ≙ salted_conv_agg's shape:
+      phase 1: lag within (conv_id, turn_idx div chunk) — a hot conv fans
+               out across n_turns/chunk tasks;
+      phase 2: adjacent pairs ACROSS chunk boundaries via a per-chunk
+               summary (first/last ts by turn order) + lag over summaries —
+               n_turns/chunk summary rows per conv, trivially small.
+    Union is exactly the set of adjacent (prev, cur) pairs, so the output
+    rows are identical to the single-window formulation."""
+    ts = F.col(cfg.order_col)
+    chunk_rows = cfg.monotone_chunk_turns
+    d = cand.select(
         "partition_id",
         "conv_id",
         "turn_idx",
-        F.col(cfg.order_col).alias("ts_"),
-        F.lag(cfg.order_col).over(w).alias("prev_ts"),
+        ts.alias("ts_"),
+        F.floor(F.col("turn_idx") / chunk_rows).alias("chunk"),
     )
-    bad = lagged.filter(F.col("ts_") < F.col("prev_ts"))
+    w_in = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    in_chunk = d.withColumn("prev_ts", F.lag("ts_").over(w_in)).filter(
+        F.col("ts_") < F.col("prev_ts")
+    )
+    summ = d.groupBy("partition_id", "conv_id", "chunk").agg(
+        F.min("turn_idx").alias("first_turn"),
+        F.min_by("ts_", "turn_idx").alias("first_ts"),
+        F.max_by("ts_", "turn_idx").alias("last_ts"),
+    )
+    w_s = Window.partitionBy("conv_id").orderBy("chunk")
+    boundary = (
+        summ.withColumn("prev_ts", F.lag("last_ts").over(w_s))
+        .filter(F.col("first_ts") < F.col("prev_ts"))
+        .select(
+            "partition_id",
+            "conv_id",
+            F.col("first_turn").alias("turn_idx"),
+            F.col("first_ts").alias("ts_"),
+            "prev_ts",
+        )
+    )
+    bad = in_chunk.select(
+        "partition_id", "conv_id", "turn_idx", "ts_", "prev_ts"
+    ).unionByName(boundary)
     return _viol(
         bad,
         "monotone_ts",

@@ -142,7 +142,12 @@ class ValidationSuite:
             viol_dfs.append(C.text_parity_violations(ref, cand, cfg))
             viol_check_ids.append("text_parity")
         if viol_dfs:
-            violations = reduce(DataFrame.unionByName, viol_dfs).persist()
+            # round-robin rebalance before persist: violation rows cluster
+            # on the partitions that produced them (a hot conversation's
+            # mismatches all share one upstream reducer) — without this the
+            # downstream count + sink stages carry one straggler task
+            n_out = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            violations = reduce(DataFrame.unionByName, viol_dfs).repartition(n_out).persist()
         else:
             violations = spark.createDataFrame([], C.VIOLATION_SCHEMA)
 

@@ -57,11 +57,35 @@ _DECODE_SCHEMA = StructType(
 )
 
 
+def _real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Codec-gated REAL decoder: identical Arrow batch contract as the
+    fake (same input columns, same output schema), dispatched when a codec
+    library exists. This container ships no codecs, so importing raises a
+    clearly-marked NotImplementedError rather than silently faking —
+    production swaps in by having PIL installed, nothing else changes."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - container has no codecs
+        raise NotImplementedError(
+            "real multimodal decode needs an image codec (PIL/Pillow) which "
+            "this container does not ship; use multimodal_decode_stub for "
+            "the plumbing-verified deterministic fake"
+        ) from e
+    import io as _io
+
+    for pdf in batches:  # pragma: no cover - exercised only with codecs
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            with Image.open(_io.BytesIO(blob)) as im:
+                rows.append((doc_id, im.width, im.height, getattr(im, "n_frames", 1)))
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "n_frames"])
+
+
 def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB DECODER — deterministic fake. Real image/audio decode needs
-    codec libs absent from this container; the Arrow batch plumbing,
-    schema, and partitioning are the real thing. Replace the body with
-    PIL/ffmpeg decode in production."""
+    codec libs absent from this container (see _real_decode for the
+    codec-gated path with the identical batch contract); the Arrow batch
+    plumbing, schema, and partitioning are the real thing."""
     for pdf in batches:
         n = pdf["n_bytes"].to_numpy()
         yield pd.DataFrame(

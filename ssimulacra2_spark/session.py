@@ -63,6 +63,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # -Xms=-Xmx + pre-touch: the heap faults in once at JVM boot. This
+        # sandbox VM services first-touch page faults through an
+        # intermittently serialized hypervisor path (~1-2 GB/s, no parallel
+        # speedup — tools/vm_pagefault_ceiling.py); lazy heap growth under
+        # 32 running threads becomes a kernel fault convoy that burned
+        # 70-88% of ALL cpus in sys time before this flag.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} -XX:+AlwaysPreTouch",
+        )
         .config("spark.local.dir", local_dirs())
         .config("spark.ui.enabled", "false")
     )

@@ -57,9 +57,17 @@ class ParquetTableIO:
             json.dump(m, f, indent=1)
         os.replace(tmp, self.manifest_path)
 
-    def committed_batches(self, run_id: str) -> list[str]:
+    def committed_batches(self, run_id: str, as_of: str | None = None) -> list[str]:
+        """Commit markers for a run, in commit order. `as_of` pins the view
+        to the table state as of that batch id (Iceberg snapshot-id/time
+        travel: a snapshot = the prefix of the commit log up to a marker)."""
         m = self._load_manifest()
-        return [c["batch"] for c in m.get("commits", []) if c["run_id"] == run_id]
+        batches = [c["batch"] for c in m.get("commits", []) if c["run_id"] == run_id]
+        if as_of is not None:
+            if as_of not in batches:
+                raise KeyError(f"unknown snapshot {as_of!r} for run {run_id!r}")
+            batches = batches[: batches.index(as_of) + 1]
+        return batches
 
     # -- results ------------------------------------------------------------
     def completed_partitions(self, spark: SparkSession, run_id: str) -> DataFrame | None:
@@ -117,10 +125,15 @@ class ParquetTableIO:
         paths = [p for p in paths if os.path.exists(p)]
         return spark.read.parquet(*paths)
 
-    def read_verdicts(self, spark: SparkSession, run_id: str) -> DataFrame:
+    def read_verdicts(
+        self, spark: SparkSession, run_id: str, as_of: str | None = None
+    ) -> DataFrame:
         """Committed batches only (uncommitted appends are invisible);
-        MERGE semantics on read: newest write per (partition_id, check_id)."""
-        df = self._read_batches(spark, "verdicts", run_id, self.committed_batches(run_id))
+        MERGE semantics on read: newest write per (partition_id, check_id).
+        `as_of` pins to a past snapshot (batch id) — time travel."""
+        df = self._read_batches(
+            spark, "verdicts", run_id, self.committed_batches(run_id, as_of)
+        )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("partition_id", "check_id").orderBy(F.col("written_at").desc())
@@ -128,7 +141,9 @@ class ParquetTableIO:
             df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
 
-    def read_violations(self, spark: SparkSession, run_id: str) -> DataFrame:
+    def read_violations(
+        self, spark: SparkSession, run_id: str, as_of: str | None = None
+    ) -> DataFrame:
         return self._read_batches(
-            spark, "violations", run_id, self.committed_batches(run_id)
+            spark, "violations", run_id, self.committed_batches(run_id, as_of)
         )

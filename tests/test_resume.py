@@ -119,3 +119,32 @@ def test_batched_commits_preserve_completed_slices(spark, synth_tables, tmp_path
         if r.partition_id >= 0
     }
     assert merged == {k: v for k, v in expected.items() if k[0] >= 0}
+
+
+def test_snapshot_time_travel(spark, synth_tables, tmp_path):
+    """as_of pins reads to a past commit: the snapshot view equals what a
+    reader saw at that commit, regardless of later appends."""
+    import pytest
+
+    t = synth_tables
+    ref = t["ref"].drop("partition_id")
+    cand = t["cand"].drop("partition_id")
+    cfg = replace(t["cfg"], commit_batches=2)
+    io = ParquetTableIO(str(tmp_path / "tt"))
+    ValidationSuite(cfg).run(spark, ref, cand, io=io, run_id="r")
+    batches = io.committed_batches("r")
+    assert len(batches) == 2
+    snap0 = {
+        (r.partition_id, r.check_id)
+        for r in io.read_verdicts(spark, "r", as_of=batches[0]).collect()
+    }
+    full = {
+        (r.partition_id, r.check_id)
+        for r in io.read_verdicts(spark, "r").collect()
+    }
+    assert snap0 < full  # strictly fewer partitions visible at snapshot 0
+    # pinned partitions are exactly slice 0 of the pid space (plus schema)
+    pids0 = {p for p, _ in snap0 if p >= 0}
+    assert pids0 and all(p % 2 == 0 for p in pids0)
+    with pytest.raises(KeyError):
+        io.committed_batches("r", as_of="nonexistent")
