@@ -257,6 +257,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("vec_a", "vec_b", r6(cos).alias("cosine"))
 
 
+def _minhash_prod_sql(dialect: str) -> str:
+    """The PRODUCTION LSH shape: 128 permutations, 16 bands x 8 rows
+    (similarity threshold ~(1/16)^(1/8) ~= 0.71) — same generated pipeline
+    as the demo config, one parameter change. Emits per-band bucket sizes
+    + the candidate-pair count so the checked output stays small while the
+    full 128-sig aggregation and band join actually execute."""
+    return f"""
+WITH {_minhash_ctes(dialect, num_hashes=128, bands=16)}
+SELECT COUNT(*) AS n_candidate_pairs,
+       COUNT(DISTINCT doc_a) AS n_docs_with_dup
+FROM pairs
+"""
+
+
+QUERIES["dedup_minhash_lsh_prod"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _minhash_prod_sql("spark"), ["documents"]
+)
+QUERIES["dedup_minhash_lsh_prod"].__doc__ = (
+    "MinHash+LSH at the production parameterization (128 permutations, "
+    "16 bands x 8 rows) — the scale config the demo entry documents; the "
+    "identical generated pipeline runs in both engines, so the oracle "
+    "verifies the full 128-signature aggregation and band self-join."
+)
+ORACLES["dedup_minhash_lsh_prod"] = _minhash_prod_sql("duck")
+
+
 # --------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components + keeper election
 # --------------------------------------------------------------------------

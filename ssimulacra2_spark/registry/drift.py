@@ -122,3 +122,30 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
        event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_v
 FROM events GROUP BY 1, 2
 """
+
+
+@(lambda fn: (QUERIES.__setitem__("stream_dedup_counts", fn), fn)[1])
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming ingest dedup
+    (streaming/validate_stream.py::dedup_stream — dropDuplicates bounded
+    by an event-time watermark): duplicates are injected deterministically
+    (every 7th event re-appended), then deduplicated on the key and
+    counted per type. The streaming path runs the same logical dedup with
+    watermark-bounded state (tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    deduped = dup.dropDuplicates(["user_id", "event_id"])
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+ORACLES["stream_dedup_counts"] = """
+WITH dup AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 7 = 0
+),
+d AS (
+  SELECT DISTINCT user_id, event_id, event_type FROM dup
+)
+SELECT event_type, COUNT(*) AS n_events FROM d GROUP BY event_type
+"""

@@ -42,11 +42,13 @@ _NORM_DUCK = "list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])"
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the first _N_QUERIES vectors against the
     whole table. Scale path: queries are broadcast (tiny side), candidates
-    stream through; the top-k is TWO-PHASE — a per-input-partition top-k
-    (keyed on (q_id, scan partition), so the first shuffle spreads over
-    q*P reducers instead of funneling everything to q reducers) followed
-    by an exact re-rank of the <= k*P survivors per query. Identical
-    result to a single global window; no single-reducer sort at 100 TB."""
+    stream through; the rank<=k filter triggers Catalyst's
+    WindowGroupLimit pushdown, so the physical plan is already two-phase —
+    a MAP-SIDE per-scan-partition top-k before the exchange, then an exact
+    re-rank of the <=k*P survivors per query (PLANS.md shows the plan:
+    WindowGroupLimit -> Exchange -> WindowGroupLimit -> Window). No
+    single-reducer global sort at 100 TB, and no hand-rolled extra
+    shuffle."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
@@ -56,20 +58,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(_DOT_SPARK.format(a="qe", b="ce"))
     cos = dot / (F.sqrt(F.expr(_NORM_SPARK.format(a="qe"))) * F.sqrt(F.expr(_NORM_SPARK.format(a="ce"))))
     from ._util import r6
-    scored = j.select(
-        "q_id", "c_id", r6(cos).alias("cosine"), F.spark_partition_id().alias("scan_part")
-    )
-    w_local = Window.partitionBy("q_id", "scan_part").orderBy(
-        F.col("cosine").desc(), F.col("c_id")
-    )
-    survivors = (
-        scored.withColumn("r_local", F.row_number().over(w_local))
-        .filter(F.col("r_local") <= _TOP_K)
-        .drop("r_local", "scan_part")
-    )
+    scored = j.select("q_id", "c_id", r6(cos).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
-        survivors.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "c_id", "cosine", "rank")
     )

@@ -117,6 +117,17 @@ def _monotone_state_fn(
     yield from outs
 
 
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on the transcript key: state holds each seen
+    (conv_id, turn_idx) only until the event-time watermark passes it, so
+    state size is bounded by the watermark window instead of the full
+    history — the streaming analog of dedup_exact for an ingest pipeline.
+    Batch-equivalent plan: registry stream_dedup_counts."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def monotone_stream(stream: DataFrame) -> DataFrame:
     return (
         stream.select("conv_id", "turn_idx")

@@ -83,3 +83,42 @@ def test_monotone_stream_state_across_batches(spark, tmp_path):
     keys = {(r.conv_id, r.turn_idx) for r in got}
     assert ("a", 3) in keys
     assert ("b", 2) not in keys
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-arriving in a later
+    micro-batch (within the watermark) is suppressed; distinct keys pass."""
+    from ssimulacra2_spark.streaming.validate_stream import dedup_stream
+
+    (tmp_path / "in3").mkdir()
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": pd.array([1, 2, 1], dtype="int32"),
+            "role": ["user"] * 3,
+            "text": ["x"] * 3,
+            "tool": pd.array([None] * 3, dtype="string"),
+            "ts": pd.to_datetime(["2025-01-01 00:00:01"] * 3).astype("datetime64[us]"),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],  # ("a", 2) is a duplicate, ("b", 2) is new
+            "turn_idx": pd.array([2, 2], dtype="int32"),
+            "role": ["user"] * 2,
+            "text": ["x"] * 2,
+            "tool": pd.array([None] * 2, dtype="string"),
+            "ts": pd.to_datetime(["2025-01-01 00:05:00"] * 2).astype("datetime64[us]"),
+        }
+    )
+    b1.to_parquet(str(tmp_path / "in3" / "b1.parquet"), index=False)
+    import time
+
+    time.sleep(1.1)
+    b2.to_parquet(str(tmp_path / "in3" / "b2.parquet"), index=False)
+    stream = read_transcript_stream(spark, str(tmp_path / "in3"), max_files=1)
+    out = str(tmp_path / "out3")
+    run_available_now(dedup_stream(stream), out, str(tmp_path / "ckpt3"))
+    got = spark.read.parquet(out)
+    keys = [(r.conv_id, r.turn_idx) for r in got.collect()]
+    assert len(keys) == len(set(keys)) == 4  # (a,1) (a,2) (b,1) (b,2)
