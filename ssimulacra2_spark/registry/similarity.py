@@ -239,3 +239,49 @@ def _run_shared(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from ._util import shared_sql
 
     return shared_sql(spark, sf_dir, sql, ["embeddings"])
+
+
+# --------------------------------------------------------------------------
+# Embedding scalar quantization (int8) — ANN memory-footprint op
+# --------------------------------------------------------------------------
+
+
+def _quantize_sql(dialect: str) -> str:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (half-up — identical in both dialects,
+    unlike ROUND tie rules). A pure projection — no shuffle, no Python —
+    so at 100 TB it runs entirely inside the scan stage; the checked
+    output is the compact per-vector summary (scale + q-vector moments),
+    not the array itself."""
+    if dialect == "spark":
+        absmax = "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (a, v) -> greatest(a, v))"
+        q = "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INT))"
+        qsum = "aggregate(q, 0, (a, v) -> a + v)"
+        ql1 = "aggregate(q, 0, (a, v) -> a + abs(v))"
+        qmax = "aggregate(q, -128, (a, v) -> greatest(a, v))"
+    else:
+        absmax = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        q = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INT))"
+        qsum = "CAST(list_sum(q) AS INT)"
+        ql1 = "CAST(list_sum(list_transform(q, v -> abs(v))) AS INT)"
+        qmax = "CAST(list_max(q) AS INT)"
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         GREATEST({absmax} / 127.0, 1e-12) AS s
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, s, {q} AS q FROM scaled
+)
+SELECT vec_id, ROUND(s, 6) AS scale,
+       {qsum} AS q_sum, {ql1} AS q_l1, {qmax} AS q_max
+FROM quant
+"""
+
+
+QUERIES["emb_quantize_int8"] = lambda spark, sf_dir: _run_shared(
+    spark, sf_dir, _quantize_sql("spark")
+)
+QUERIES["emb_quantize_int8"].__doc__ = _quantize_sql.__doc__
+ORACLES["emb_quantize_int8"] = _quantize_sql("duck")

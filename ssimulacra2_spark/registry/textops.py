@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import load, r6
+from ._util import load, r6, shared_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -166,3 +166,51 @@ def _fp_oracle() -> str:
 
 
 ORACLES["doc_fingerprint"] = _fp_oracle()
+
+
+# --------------------------------------------------------------------------
+# Shingle fingerprint — the scale variant of doc_fingerprint
+# --------------------------------------------------------------------------
+
+_SHINGLE_K = 3  # tokens per shingle
+
+
+def _shingle_fp_sql(dialect: str) -> str:
+    """Min-rank fingerprint over token 3-shingles: tokenize, slide a
+    k-token window, hash each shingle (dialect-neutral polynomial over
+    the three token hashes), keep the MIN — one mergeable agg per doc, so
+    the same plan holds at 10^12 docs (map-side MIN partials). This is
+    the content-defined variant of doc_fingerprint (which samples fixed
+    character positions): token insertions shift positions but leave most
+    shingles — and usually the min shingle — intact."""
+    th = "(ascii(tok) * 1000003 + length(tok) * 10007 + ascii(reverse(tok)) * 101)"
+    if dialect == "spark":
+        toks = (
+            "SELECT doc_id, posexplode(filter(split(text, ' +'), t -> t <> ''))"
+            " AS (pos, tok) FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ' +'),"
+            " t -> t <> '')) AS tok,"
+            " generate_subscripts(list_filter(regexp_split_to_array(text, ' +'),"
+            " t -> t <> ''), 1) - 1 AS pos FROM documents"
+        )
+    return f"""
+WITH tok AS ({toks}),
+th AS (SELECT doc_id, pos, CAST({th} AS BIGINT) AS h FROM tok),
+sh AS (
+  SELECT a.doc_id, (a.h * 31 * 31 + b.h * 31 + c.h) % 2147483647 AS shingle_h
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+SELECT doc_id, MIN(shingle_h) AS fingerprint FROM sh GROUP BY doc_id
+"""
+
+
+QUERIES["doc_fingerprint_shingles"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _shingle_fp_sql("spark"), ["documents"]
+)
+QUERIES["doc_fingerprint_shingles"].__doc__ = _shingle_fp_sql.__doc__
+ORACLES["doc_fingerprint_shingles"] = _shingle_fp_sql("duck")
