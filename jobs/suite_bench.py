@@ -38,6 +38,7 @@ def main() -> None:
     # (config.py docstring; 'memory' persists the compact featurized
     # columns once instead of re-decoding text per check branch)
     p.add_argument("--cache-mode", default="none")
+    p.add_argument("--drift-impl", default="arrow", choices=["arrow", "window"])
     p.add_argument("--data-dir", default=None, help="reuse pre-generated pair")
     args = p.parse_args()
 
@@ -68,6 +69,7 @@ def main() -> None:
         num_scales=args.scales,
         drift_subbuckets=args.drift_subbuckets,
         cache_mode=args.cache_mode,
+        drift_impl=args.drift_impl,
         checks=(
             "schema",
             "min_rows",

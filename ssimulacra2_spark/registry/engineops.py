@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ._util import load, r6
+from ._util import load, r6, shared_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -163,3 +163,51 @@ def tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # no oracle for tdigest_quantiles (approximate; pytest-pinned)
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (event-pipeline staple)
+# --------------------------------------------------------------------------
+
+
+def _sessionize_sql(dialect: str) -> str:
+    """Sessionize each user's event stream on a 30-minute inactivity gap:
+    a session starts at any event whose gap from the previous event
+    exceeds the threshold; session_id = running count of session starts.
+    One window partitioned by user (the per-user event counts are small;
+    a hot user would get the chunked-lag treatment of
+    checks.monotone_ts_violations). Output: per-session summary — the
+    shape a training-data pipeline feeds to conversation assembly."""
+    diff = (
+        "unix_timestamp(ts) - unix_timestamp(prev_ts)"
+        if dialect == "spark"
+        else "date_part('epoch', ts) - date_part('epoch', prev_ts)"
+    )
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR {diff} > 1800 THEN 1 ELSE 0 END AS is_start
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES["sessionize_gap"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _sessionize_sql("spark"), ["events"]
+)
+QUERIES["sessionize_gap"].__doc__ = _sessionize_sql.__doc__
+ORACLES["sessionize_gap"] = _sessionize_sql("duck")
