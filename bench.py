@@ -81,7 +81,9 @@ def main() -> None:
     from ssimulacra2_spark.config import CheckSuiteConfig
     from ssimulacra2_spark.plans.suite import ValidationSuite
 
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(40_000_000 * sf))))
+    # sized so fixed per-job costs amortize: throughput is the metric, so
+    # measure where the suite is compute-bound (~8M turns at sf0.1)
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(80_000_000 * sf))))
     n_convs = max(1000, n_turns // 100)
     # stage the pair to parquet: the engine's real input is a table scan —
     # running the suite on the generator DAG would re-generate the data
