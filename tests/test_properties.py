@@ -1,0 +1,174 @@
+"""Differential + property tests for the round-2 rewrites.
+
+Each test pins an equivalence the code now RELIES on:
+  * chunked monotone check == naive whole-conversation window
+  * drift partial-sum merging is exact across any sub-bucket fanout
+  * bucket-star connected components == clique connected components
+  * recursive-Gaussian batch vectorization == per-series filtering under
+    random lengths/values (hypothesis)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --------------------------------------------------------------------------
+# Chunked monotone check == naive per-conversation window
+# --------------------------------------------------------------------------
+
+
+def _naive_monotone(pdf: pd.DataFrame) -> set[tuple[str, int]]:
+    """Reference semantics: per conversation ordered by turn_idx, flag any
+    row whose ts is earlier than its predecessor's ts."""
+    bad = set()
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        prev = None
+        for _, row in g.iterrows():
+            if prev is not None and row["ts"] < prev:
+                bad.add((conv, int(row["turn_idx"])))
+            prev = row["ts"]
+    return bad
+
+
+def test_chunked_monotone_equals_naive(spark):
+    from dataclasses import replace
+
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.operators.checks import (
+        monotone_ts_violations,
+        with_partition_id,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for conv in range(30):
+        n = int(rng.integers(1, 40))
+        ts = pd.Timestamp("2025-01-01") + pd.to_timedelta(
+            np.cumsum(rng.integers(-3, 10, n)), unit="m"
+        )
+        for i in range(n):
+            rows.append((f"c{conv}", i, "user", "x", None, ts[i]))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    # tiny chunk size so the boundary path is exercised heavily
+    cfg = replace(CheckSuiteConfig(), monotone_chunk_turns=4)
+    df = with_partition_id(spark.createDataFrame(pdf), cfg)
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in monotone_ts_violations(df, cfg).collect()
+    }
+    assert got == _naive_monotone(pdf)
+
+
+# --------------------------------------------------------------------------
+# Drift sub-bucket fanout is exact
+# --------------------------------------------------------------------------
+
+
+def test_drift_subbuckets_exact(spark, synth_tables):
+    from dataclasses import replace
+
+    from ssimulacra2_spark.operators.checks import partition_counts, prepare
+    from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
+
+    t = synth_tables
+    base = t["cfg"]
+    scores = []
+    for sub in (1, 16):
+        cfg = replace(base, drift_subbuckets=sub)
+        ref = prepare(t["ref"].drop("partition_id"), cfg)
+        cand = prepare(t["cand"].drop("partition_id"), cfg)
+        parts = partition_counts(ref).select("partition_id")
+        out = drift_score_check_arrow(ref, cand, parts, cfg)
+        scores.append(
+            {r.partition_id: r.score for r in out.verdicts.collect()}
+        )
+    assert scores[0].keys() == scores[1].keys()
+    for pid in scores[0]:
+        a, b = scores[0][pid], scores[1][pid]
+        if a is None or b is None:
+            assert a == b
+        else:
+            assert a == pytest.approx(b, rel=1e-12), pid
+
+
+# --------------------------------------------------------------------------
+# Bucket-star components == clique components
+# --------------------------------------------------------------------------
+
+
+def _components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_star_components_equal_clique_components(buckets):
+    clique_edges = []
+    star_edges = []
+    for members in buckets:
+        ms = sorted(set(members))
+        hub = ms[0]
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                clique_edges.append((a, b))
+            if a != hub:
+                star_edges.append((hub, a))
+    assert _components(clique_edges) == _components(star_edges)
+
+
+# --------------------------------------------------------------------------
+# Recursive Gaussian: batch == single under random shapes (hypothesis)
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=6),
+    st.integers(0, 2**31 - 1),
+)
+def test_rg_batch_equals_single(lengths, seed):
+    from ssimulacra2_spark.functions.recursive_gaussian import (
+        rg_smooth_many,
+        rg_smooth_series,
+    )
+
+    rng = np.random.default_rng(seed)
+    series = [rng.normal(0, 1, n) for n in lengths]
+    got = rg_smooth_many(series)
+    for s, g in zip(series, got):
+        assert np.array_equal(g, rg_smooth_series(s))
+
+
+def test_rg_dc_gain_across_sigmas():
+    from ssimulacra2_spark.functions.recursive_gaussian import rg_smooth_series
+
+    for sigma in (0.8, 1.5, 2.5, 4.0):
+        n = int(20 * sigma) * 2 + 1
+        x = np.zeros(n)
+        x[n // 2] = 1.0
+        y = rg_smooth_series(x, sigma)
+        assert abs(y.sum() - 1.0) < 5e-3, sigma
