@@ -100,10 +100,14 @@ class ValidationSuite:
             import tempfile
 
             d = cfg.staging_dir or tempfile.mkdtemp(prefix="suite_staging_")
-            ref.write.mode("overwrite").parquet(f"{d}/ref_{run_id}")
-            cand.write.mode("overwrite").parquet(f"{d}/cand_{run_id}")
-            ref = spark.read.parquet(f"{d}/ref_{run_id}")
-            cand = spark.read.parquet(f"{d}/cand_{run_id}")
+            # slice-suffixed dirs: the returned DataFrames stay lazy after
+            # this slice's commit, so a later slice must never overwrite a
+            # staging path an earlier slice's plan still reads
+            sfx = f"_{batch[0]}" if batch is not None else ""
+            ref.write.mode("overwrite").parquet(f"{d}/ref_{run_id}{sfx}")
+            cand.write.mode("overwrite").parquet(f"{d}/cand_{run_id}{sfx}")
+            ref = spark.read.parquet(f"{d}/ref_{run_id}{sfx}")
+            cand = spark.read.parquet(f"{d}/cand_{run_id}{sfx}")
 
         ref_parts = C.partition_counts(ref).cache()
         cand_parts = C.partition_counts(cand).cache()
