@@ -211,3 +211,49 @@ QUERIES["sessionize_gap"] = lambda spark, sf_dir: shared_sql(
 )
 QUERIES["sessionize_gap"].__doc__ = _sessionize_sql.__doc__
 ORACLES["sessionize_gap"] = _sessionize_sql("duck")
+
+
+# --------------------------------------------------------------------------
+# As-of join (time-travel dimension lookup)
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("asof_join_policy", fn), fn)[1])
+def asof_join_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to every event the most recent policy snapshot
+    (dim row with policy_ts <= event ts), then count events per policy
+    version. The dimension is derived deterministically (every 97th
+    event's timestamp = a policy release).
+
+    Spark has no ASOF JOIN operator; this expresses it as
+    broadcast range-join + per-event max_by (the dimension is small by
+    nature — config/policy snapshots). At 100 TB with a LARGE dimension
+    the scale shape is: range-bucket both sides by time, union + sort
+    within buckets, last_value carry with a per-bucket boundary fix —
+    the same chunk-boundary pattern as checks.monotone_ts_violations.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics, so parity is a real check."""
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy(F.col("ts").alias("policy_ts"))
+        .agg(F.max("event_id").alias("policy_id"))
+    )
+    e = ev.select("event_id", F.col("ts").alias("ev_ts"))
+    j = e.join(F.broadcast(dim), F.col("policy_ts") <= F.col("ev_ts"), "left")
+    per_event = j.groupBy("event_id").agg(
+        F.max_by("policy_id", "policy_ts").alias("policy_id")
+    )
+    return per_event.groupBy("policy_id").agg(F.count("*").alias("n_events"))
+
+
+ORACLES["asof_join_policy"] = """
+WITH dim AS (
+  SELECT ts AS policy_ts, MAX(event_id) AS policy_id
+  FROM events WHERE event_id % 97 = 0 GROUP BY ts
+)
+SELECT d.policy_id, COUNT(*) AS n_events
+FROM events e ASOF LEFT JOIN dim d ON e.ts >= d.policy_ts
+GROUP BY d.policy_id
+"""
