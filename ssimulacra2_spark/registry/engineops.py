@@ -171,13 +171,9 @@ def tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sessionize_sql(dialect: str) -> str:
-    """Sessionize each user's event stream on a 30-minute inactivity gap:
-    a session starts at any event whose gap from the previous event
-    exceeds the threshold; session_id = running count of session starts.
-    One window partitioned by user (the per-user event counts are small;
-    a hot user would get the chunked-lag treatment of
-    checks.monotone_ts_violations). Output: per-session summary — the
-    shape a training-data pipeline feeds to conversation assembly."""
+    """DuckDB oracle formulation (single whole-user window) of the
+    sessionization semantics; the Spark engine path is the chunked
+    sessionize_gap_df below — identical output, skew-safe plan."""
     diff = (
         "unix_timestamp(ts) - unix_timestamp(prev_ts)"
         if dialect == "spark"
@@ -206,10 +202,92 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-QUERIES["sessionize_gap"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _sessionize_sql("spark"), ["events"]
+def sessionize_gap_df(
+    events: DataFrame, gap_secs: int = 1800, chunk_secs: int = 24 * 3600
+) -> DataFrame:
+    """Sessionize each user's event stream on a 30-minute inactivity gap:
+    a session starts at any event whose gap from the previous event
+    exceeds the threshold; session_id = running count of session starts.
+    Output: per-session summary — the shape a training-data pipeline
+    feeds to conversation assembly.
+
+    Skew-safe plan: NO whole-user window (a hot user with 10^8 events
+    would serialize onto one task). Same chunk-boundary pattern as
+    checks.monotone_ts_violations, here as a two-phase prefix scan:
+
+      phase 1 (per (user, time-chunk)): lag within the chunk gives
+        every gap except the chunk's first row; a per-chunk summary
+        (last ts) lagged over the TINY summary table supplies the
+        cross-boundary gap. is_start is then exact everywhere.
+      phase 2 (session ids = running count of starts): running sum of
+        is_start within the chunk + the sum of start-counts of all
+        earlier chunks (prefix over the summary table) — a classic
+        blocked scan; every fact-row window is per (user, chunk).
+
+    Chunks are time buckets, so they are order-aligned with the
+    (ts, event_id) sort key; equal timestamps never straddle a chunk.
+    Property-pinned equal to the single-window formulation
+    (tests/test_properties.py::test_sessionize_chunked_matches_whole)."""
+    from pyspark.sql.window import Window
+
+    d = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / chunk_secs).alias("chunk"),
+    )
+    w_in = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    lagged = d.withColumn("prev_in", F.lag("ts").over(w_in))
+    summ = d.groupBy("user_id", "chunk").agg(F.max("ts").alias("chunk_last_ts"))
+    w_sum = Window.partitionBy("user_id").orderBy("chunk")
+    carry = summ.withColumn("prev_chunk_last", F.lag("chunk_last_ts").over(w_sum)).select(
+        "user_id", "chunk", "prev_chunk_last"
+    )
+    gap_from = F.coalesce(F.col("prev_in"), F.col("prev_chunk_last"))
+    flagged = lagged.join(carry, ["user_id", "chunk"]).withColumn(
+        "is_start",
+        F.when(
+            gap_from.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(gap_from) > gap_secs),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    starts_per_chunk = flagged.groupBy("user_id", "chunk").agg(
+        F.sum("is_start").alias("n_starts")
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = starts_per_chunk.withColumn(
+        "offset", F.coalesce(F.sum("n_starts").over(w_off), F.lit(0))
+    ).select("user_id", "chunk", "offset")
+    sess = (
+        flagged.withColumn("cum_in", F.sum("is_start").over(w_run))
+        .join(offsets, ["user_id", "chunk"])
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("cum_in") + F.col("offset")).cast("long").alias("session_id"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+QUERIES["sessionize_gap"] = lambda spark, sf_dir: sessionize_gap_df(
+    load(spark, sf_dir, "events")
 )
-QUERIES["sessionize_gap"].__doc__ = _sessionize_sql.__doc__
+QUERIES["sessionize_gap"].__doc__ = sessionize_gap_df.__doc__
 ORACLES["sessionize_gap"] = _sessionize_sql("duck")
 
 
@@ -225,25 +303,82 @@ def asof_join_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     version. The dimension is derived deterministically (every 97th
     event's timestamp = a policy release).
 
-    Spark has no ASOF JOIN operator; this expresses it as
-    broadcast range-join + per-event max_by (the dimension is small by
-    nature — config/policy snapshots). At 100 TB with a LARGE dimension
-    the scale shape is: range-bucket both sides by time, union + sort
-    within buckets, last_value carry with a per-bucket boundary fix —
-    the same chunk-boundary pattern as checks.monotone_ts_violations.
+    Spark has no ASOF JOIN operator. This is the sorted-carry scale
+    shape (NOT a range join — a theta-join on policy_ts <= ev_ts
+    materializes events x qualifying-policies rows before reducing,
+    a 10^3x row explosion with a thousand-version dimension):
+
+      1. union both sides, tagged; one shuffle on time bucket;
+      2. within each bucket, sort by (ts, side) — policy rows sort
+         BEFORE events at equal ts, matching the inclusive bound —
+         and carry the latest policy forward with last(ignorenulls)
+         over a running frame;
+      3. per-bucket boundary fix: an event before its bucket's first
+         policy takes the carry-in — the last policy of any EARLIER
+         bucket, computed once over the tiny per-bucket summary and
+         broadcast back (same chunk-boundary pattern as
+         checks.monotone_ts_violations).
+
+    Intermediate rows = events + policies, never their product; the
+    only full-size exchange is the bucket shuffle. A hot bucket splits
+    by narrowing bucket_secs (config surface at scale).
 
     Oracle: DuckDB's native ASOF LEFT JOIN — an independent
-    implementation of the same semantics, so parity is a real check."""
+    implementation of the same semantics, so parity is a real check.
+    Reference analog (ordered stateful carry):
+    /root/reference/ssimulacra2/src/blur/gaussian.rs:46-91."""
+    from pyspark.sql.window import Window
+
+    bucket_secs = 6 * 3600
     ev = load(spark, sf_dir, "events")
     dim = (
         ev.filter(F.col("event_id") % 97 == 0)
         .groupBy(F.col("ts").alias("policy_ts"))
         .agg(F.max("event_id").alias("policy_id"))
     )
-    e = ev.select("event_id", F.col("ts").alias("ev_ts"))
-    j = e.join(F.broadcast(dim), F.col("policy_ts") <= F.col("ev_ts"), "left")
-    per_event = j.groupBy("event_id").agg(
-        F.max_by("policy_id", "policy_ts").alias("policy_id")
+    bkt = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bucket_secs)  # noqa: E731
+    # side=0 policies, side=1 events: at equal ts the policy sorts first,
+    # so an event AT a release instant sees that release (inclusive bound)
+    pol = dim.select(
+        F.col("policy_ts").alias("ts"),
+        F.lit(0).alias("side"),
+        "policy_id",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    evs = ev.select(
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("policy_id"),
+        "event_id",
+    )
+    u = evs.unionByName(pol).withColumn("bkt", bkt("ts"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("pol_in", F.last("policy_id", ignorenulls=True).over(w_in))
+    # carry-in per bucket: last policy of any strictly-earlier bucket.
+    # The summary is one row per occupied time bucket (time-range /
+    # bucket_secs rows — tiny by construction), so the global ordered
+    # window runs over a broadcast-scale frame, never over fact rows.
+    bkt_last = dim.groupBy(bkt("policy_ts").alias("bkt")).agg(
+        F.max_by("policy_id", "policy_ts").alias("bkt_last_pol")
+    )
+    w_s = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        u.select("bkt")
+        .distinct()
+        .join(bkt_last, "bkt", "left")
+        .withColumn("carry_in", F.last("bkt_last_pol", ignorenulls=True).over(w_s))
+        .select("bkt", "carry_in")
+    )
+    per_event = (
+        carried.filter(F.col("side") == 1)
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            "event_id", F.coalesce(F.col("pol_in"), F.col("carry_in")).alias("policy_id")
+        )
     )
     return per_event.groupBy("policy_id").agg(F.count("*").alias("n_events"))
 
