@@ -106,6 +106,10 @@ def main() -> None:
         verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
         materialize(verdicts)
         materialize(violations)
+        # drop blocks the suite persisted internally so the next (timed)
+        # pass doesn't run under the previous pass's cache residency
+        # (matches jobs/suite_bench.py's one_pass)
+        spark.catalog.clearCache()
 
     # one untimed steady-state warmup (JIT, python workers, pre-faulted
     # working set — see tools/vm_pagefault_ceiling.py for why faults on

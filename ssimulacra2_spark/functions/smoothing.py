@@ -38,12 +38,38 @@ def iir_alpha(sigma: float = SIGMA) -> float:
 
 
 def _ema(x: np.ndarray, alpha: float) -> np.ndarray:
-    y = np.empty_like(x, dtype=np.float64)
-    acc = x[0]
-    for i, v in enumerate(x):
-        acc = alpha * v + (1.0 - alpha) * acc
-        y[i] = acc
-    return y
+    """EMA recurrence y[i] = a*x[i] + (1-a)*y[i-1] (state seeded with
+    x[0]) as a BLOCKED linear scan — no per-element Python loop.
+
+    The recurrence is affine, so a block of length B with carry-in c
+    satisfies y[j] = p[j] + q^(j+1) * c, where p is the block's partial
+    EMA with zero carry. Partials for all blocks are computed together
+    (one vectorized loop over the B in-block time steps), carries chain
+    through c[k] = q^B * c[k-1] + p[k-1, B-1] (one cheap scalar loop over
+    n/B blocks), and the combine is a single outer product. With
+    B ~ sqrt(n) the Python-level step count is ~2*sqrt(n) instead of n
+    (same shape as recursive_gaussian.rg_smooth_many: loop over time
+    steps, vectorize across everything else)."""
+    n = x.shape[0]
+    q = 1.0 - alpha
+    B = 1 << max(4, (n.bit_length() + 1) // 2)  # ~sqrt(n), floor 16
+    nb = -(-n // B)
+    X = np.zeros(nb * B)
+    X[:n] = x
+    X = X.reshape(nb, B)
+    P = np.empty_like(X)
+    acc = alpha * X[:, 0]
+    P[:, 0] = acc
+    for j in range(1, B):
+        acc = alpha * X[:, j] + q * acc
+        P[:, j] = acc
+    qB = q**B  # underflows to 0.0 for large B — harmless (q < 1)
+    c = np.empty(nb)
+    c[0] = x[0]
+    for k in range(1, nb):
+        c[k] = qB * c[k - 1] + P[k - 1, -1]
+    qp = q ** np.arange(1.0, B + 1.0)
+    return (P + c[:, None] * qp[None, :]).reshape(-1)[:n]
 
 
 def iir_smooth_series(x: np.ndarray, sigma: float = SIGMA) -> np.ndarray:

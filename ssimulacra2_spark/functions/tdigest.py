@@ -91,6 +91,7 @@ def tdigest_quantiles(
     quantiles: tuple[float, ...] = (0.5, 0.95),
     delta: int = 100,
     salt_buckets: int = 8,
+    row_key_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Two-phase mergeable quantile profile per group (salted phase 1 so a
     hot group cannot overload one task; ≙ SURVEY §2.10 tdigest_agg)."""
@@ -114,15 +115,21 @@ def tdigest_quantiles(
     out_fields = [StructField("group", StringType())] + [
         StructField(f"p{int(q * 100)}", DoubleType()) for q in quantiles
     ]
-    # salt from row position, not the value: a hot group with a CONSTANT
-    # value (the degenerate skew case) must still fan out across buckets
+    # The salt must (a) fan out a hot group even when its value is
+    # CONSTANT (the degenerate skew case — hashing the value alone
+    # collapses to one bucket) and (b) be DETERMINISTIC under task retry:
+    # a nondeterministic shuffle key (e.g. monotonically_increasing_id)
+    # can re-bucket recomputed rows after a fetch failure, silently
+    # dropping/duplicating rows in the phase-1 digests. Callers pass
+    # row_key_cols (a stable per-row key like event_id); without one we
+    # fall back to hashing ALL columns — deterministic, but exact
+    # duplicate rows of a constant-valued hot group then share a bucket
+    # (documented residual: digests stay correct, skew fanout degrades).
+    key_cols = list(row_key_cols) if row_key_cols else list(df.columns)
     salted = df.select(
         F.col(group_col).cast("string").alias(group_col),
         F.col(value_col).alias(value_col),
-        F.pmod(
-            F.xxhash64(value_col, F.monotonically_increasing_id()),
-            F.lit(salt_buckets),
-        ).alias("_salt"),
+        F.pmod(F.xxhash64(*key_cols), F.lit(salt_buckets)).alias("_salt"),
     )
     partials = salted.groupBy(group_col, "_salt").applyInPandas(phase1, _DIGEST_SCHEMA)
     return partials.groupBy("group").applyInPandas(phase2, StructType(out_fields))

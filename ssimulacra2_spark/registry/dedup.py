@@ -359,13 +359,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_sum = None
-    for _ in range(8):  # 2 hops per checked round; bound >> demo diameters
+    converged = False
+    # labels are monotone non-increasing, so an unchanged label sum is a
+    # convergence certificate. Iterate UNTIL it fires (2 hops per checked
+    # round -> covers diameter 2^rounds growth in far fewer rounds than
+    # the cap); the cap is a runaway backstop, and hitting it without the
+    # certificate raises rather than silently returning unconverged ids.
+    for _ in range(64):
         labels = propagate(propagate(labels)).localCheckpoint()
         s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within 64 "
+            "rounds (128 hops) — component diameter beyond any plausible "
+            "LSH bucket graph; investigate the edge set"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -159,7 +159,7 @@ def tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.tdigest import tdigest_quantiles as tq
 
     ev = load(spark, sf_dir, "events")
-    return tq(ev, "event_type", "value", quantiles=(0.5, 0.95))
+    return tq(ev, "event_type", "value", quantiles=(0.5, 0.95), row_key_cols=("event_id",))
 
 
 # no oracle for tdigest_quantiles (approximate; pytest-pinned)

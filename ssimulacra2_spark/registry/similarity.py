@@ -215,7 +215,8 @@ FROM hits GROUP BY q_id
 QUERIES["ann_lsh_topk"] = lambda spark, sf_dir: _run_shared(spark, sf_dir, _lsh_topk_sql("spark"))
 QUERIES["ann_lsh_topk"].__doc__ = (
     "ANN retrieval via LSH buckets: query vectors hash to a bucket, "
-    "multi-probe (exact + all Hamming-1 neighbor buckets) widens recall, "
+    "multi-probe (all buckets at Hamming distance <= 2: 1+6+15 = 22 of "
+    "the 64) widens recall, "
     "candidates join WITHIN buckets only, then per-query cosine top-k. "
     "Scale path: the candidate join shuffles on near-uniform bucket ids — "
     "never all-pairs; the per-query window ranks only the in-bucket "

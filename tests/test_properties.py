@@ -163,7 +163,59 @@ def test_rg_batch_equals_single(lengths, seed):
         assert np.array_equal(g, rg_smooth_series(s))
 
 
-def test_rg_dc_gain_across_sigmas():
+# --------------------------------------------------------------------------
+# Blocked EMA scan == naive per-element recurrence
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 700), st.integers(0, 2**31 - 1))
+def test_ema_blocked_equals_naive(n, seed):
+    from ssimulacra2_spark.functions.smoothing import _ema, iir_alpha
+
+    a = iir_alpha()
+    x = np.random.default_rng(seed).normal(0, 5, n)
+    naive = np.empty(n)
+    acc = x[0]
+    for i, v in enumerate(x):
+        acc = a * v + (1.0 - a) * acc
+        naive[i] = acc
+    got = _ema(x, a)
+    assert np.allclose(got, naive, rtol=1e-12, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Chunked sessionization == whole-user window
+# --------------------------------------------------------------------------
+
+
+def test_sessionize_chunked_matches_whole(spark):
+    from ssimulacra2_spark.registry.engineops import sessionize_gap_df
+
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+    for user in range(12):
+        t = pd.Timestamp("2025-03-01")
+        for _ in range(int(rng.integers(1, 120))):
+            # gaps straddle both the 30-min session threshold and the
+            # chunk width so boundary carries are exercised heavily
+            t = t + pd.to_timedelta(int(rng.integers(0, 5000)), unit="s")
+            rows.append((f"u{user}", eid, t))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    ev = spark.createDataFrame(pdf)
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.session_id, r.n_events, r.first_event, r.last_event)
+            for r in df.collect()
+        )
+
+    # tiny chunk (1h) so nearly every session crosses a chunk boundary
+    chunked = canon(sessionize_gap_df(ev, chunk_secs=3600))
+    whole = canon(sessionize_gap_df(ev, chunk_secs=10**9))
+    assert chunked == whole and len(chunked) > 20
     from ssimulacra2_spark.functions.recursive_gaussian import rg_smooth_series
 
     for sigma in (0.8, 1.5, 2.5, 4.0):
