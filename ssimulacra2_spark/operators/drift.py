@@ -40,7 +40,10 @@ def featurize(df: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     checks.prepare — ≙ xyb_to_planar lib.rs:137-155) to long format:
     (partition_id, conv_id, turn_idx, channel, v), v in ~[0, 1]."""
     chans = list(cfg.channels)
-    stack_args = ", ".join(f"'{c}', ch_{c}" for c in chans)
+    # ch_<name> are f32 (see drift_arrow.channel_expr); upcast here so all
+    # windowed-moment arithmetic runs in f64 over the f32-quantized values,
+    # matching the Arrow path and the oracle exactly
+    stack_args = ", ".join(f"'{c}', CAST(ch_{c} AS DOUBLE)" for c in chans)
     return df.selectExpr(
         "partition_id",
         "conv_id",

@@ -58,17 +58,28 @@ _PARTIAL_SCHEMA = StructType(
 
 def channel_expr(text_col: str, channel: str):
     """Feature channel as a Catalyst expression (shared by the window impl
-    and the Arrow impl so both produce identical inputs)."""
+    and the Arrow impl so both produce identical inputs).
+
+    Emitted as FLOAT, not double: channel values live in ~[0,1] with a few
+    significant digits, so f32's 24-bit mantissa is lossless headroom — and
+    the channel columns are what the drift exchange and the Arrow batches
+    actually ship (2 x channels values per paired row). Halving them halves
+    the dominant shuffle + IPC byte volume at 32 threads, where the suite is
+    memory-bandwidth-bound (ARCHITECTURE.md §7: 1.9x per-task CPU inflation
+    on identical stages). All downstream MATH upcasts to f64 (the oracle
+    quantizes identically, so 1e-9 score parity is preserved)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     if channel == "len":
-        return F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0
-    if channel == "tok":
+        e = F.least(F.length(t), F.lit(2048)).cast("double") / 2048.0
+    elif channel == "tok":
         # tokens = space-runs + 1 == size(split(t, ' +')) but without the
         # per-row array allocation (profiled: split dominated the scan)
-        return F.least(F.regexp_count(t, F.lit(" +")) + 1, F.lit(512)).cast("double") / 512.0
-    if channel == "hash":
-        return F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0
-    raise ValueError(channel)
+        e = F.least(F.regexp_count(t, F.lit(" +")) + 1, F.lit(512)).cast("double") / 512.0
+    elif channel == "hash":
+        e = F.pmod(F.xxhash64(t), F.lit(4096)).cast("double") / 4096.0
+    else:
+        raise ValueError(channel)
+    return e.cast("float")
 
 
 def _smooth_many(
@@ -159,6 +170,10 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
         run_id0 = np.cumsum(starts)
         out = []
         for ch in channels:
+            # batch arrives as f32 (exchange + Arrow IPC at half width);
+            # upcast ONCE — all kernel math and partial sums stay f64 so
+            # the 1e-9 oracle parity holds (the oracle quantizes its
+            # featurized channels to f32 at the same point)
             v1 = pdf[f"v1_{ch}"].to_numpy(np.float64)
             v2 = pdf[f"v2_{ch}"].to_numpy(np.float64)
             rid = run_id0

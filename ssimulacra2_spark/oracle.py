@@ -96,11 +96,16 @@ def text_parity_classes(ref: pd.DataFrame, cand: pd.DataFrame) -> dict[tuple[str
 def _featurize_channel(texts: pd.Series, channel: str) -> np.ndarray:
     t = texts.fillna("")
     if channel == "len":
-        return np.minimum(t.str.len().to_numpy(dtype=np.float64), 2048.0) / 2048.0
-    if channel == "tok":
+        v = np.minimum(t.str.len().to_numpy(dtype=np.float64), 2048.0) / 2048.0
+    elif channel == "tok":
         ntok = t.map(lambda s: len(re.split(" +", s))).to_numpy(dtype=np.float64)
-        return np.minimum(ntok, 512.0) / 512.0
-    raise ValueError(f"oracle cannot compute channel {channel!r} (xxhash64)")
+        v = np.minimum(ntok, 512.0) / 512.0
+    else:
+        raise ValueError(f"oracle cannot compute channel {channel!r} (xxhash64)")
+    # the engine ships f32 channels through the drift exchange
+    # (drift_arrow.channel_expr) and upcasts for the math; quantize
+    # identically so engine/oracle parity stays exact at 1e-9
+    return v.astype(np.float32).astype(np.float64)
 
 
 def _kernel_smooth(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
