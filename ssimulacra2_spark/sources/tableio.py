@@ -35,8 +35,16 @@ from pyspark.sql import functions as F
 
 
 class ParquetTableIO:
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, compact_every: int = 4):
+        """compact_every: after this many committed batches accumulate
+        past the last compaction, write_results folds the newest-wins
+        resolution into ONE compacted snapshot fileset (Iceberg's
+        rewrite_data_files analog). Current reads then touch the snapshot
+        plus at most compact_every-1 tail batches instead of every batch
+        ever committed; raw batches are retained so `as_of` time travel
+        over the commit log is unaffected. 0 disables."""
         self.base_dir = base_dir
+        self.compact_every = compact_every
         os.makedirs(base_dir, exist_ok=True)
         self.manifest_path = os.path.join(base_dir, "manifest.json")
 
@@ -76,10 +84,12 @@ class ParquetTableIO:
         driver-side partition list, per the 10^12-row design point).
         Derived from the committed verdicts table, not from any manifest
         bookkeeping. None if nothing is committed yet."""
-        batches = self.committed_batches(run_id)
-        if not batches:
+        if not self.committed_batches(run_id):
             return None
-        v = self._read_batches(spark, "verdicts", run_id, batches)
+        paths = self._verdict_paths(run_id, as_of=None)
+        if not paths:
+            return None
+        v = spark.read.parquet(*paths)
         return v.filter(F.col("partition_id") >= 0).select("partition_id").distinct()
 
     def completed_partition_set(self, spark: SparkSession, run_id: str) -> set[int]:
@@ -113,7 +123,79 @@ class ParquetTableIO:
             {"run_id": run_id, "batch": batch, "ts": time.time()}
         )
         self._save_manifest(m)
+        if self.compact_every:
+            batches = self.committed_batches(run_id)
+            if len(self._pending_after_compaction(run_id, batches)) >= self.compact_every:
+                self.compact(verdicts.sparkSession, run_id)
         return batch
+
+    # -- compaction (Iceberg rewrite_data_files analog) ----------------------
+    def _latest_compaction(self, run_id: str, batches: list[str]) -> dict | None:
+        comps = [
+            c
+            for c in self._load_manifest().get("compactions", [])
+            if c["run_id"] == run_id and c["upto"] in batches
+        ]
+        return max(comps, key=lambda c: batches.index(c["upto"])) if comps else None
+
+    def _pending_after_compaction(self, run_id: str, batches: list[str]) -> list[str]:
+        comp = self._latest_compaction(run_id, batches)
+        return batches if comp is None else batches[batches.index(comp["upto"]) + 1 :]
+
+    def _compact_dir(self, run_id: str, upto: str) -> str:
+        return os.path.join(
+            self.base_dir, "verdicts_compact", f"run={run_id}", f"upto={upto}"
+        )
+
+    def compact(self, spark: SparkSession, run_id: str) -> str:
+        """Fold the current newest-wins verdict resolution into one
+        snapshot fileset covering the commit log up to the latest batch;
+        write-then-commit like any other mutation (an unmarked compaction
+        is invisible). Raw batches stay on disk for `as_of` reads."""
+        batches = self.committed_batches(run_id)
+        if not batches:
+            raise ValueError(f"nothing committed for run {run_id!r}")
+        upto = batches[-1]
+        self.read_verdicts(spark, run_id).write.mode("overwrite").parquet(
+            self._compact_dir(run_id, upto)
+        )
+        m = self._load_manifest()
+        m.setdefault("compactions", []).append(
+            {"run_id": run_id, "upto": upto, "ts": time.time()}
+        )
+        self._save_manifest(m)
+        return upto
+
+    def _empty_results(self, spark: SparkSession, kind: str) -> DataFrame:
+        from pyspark.sql.types import StringType, StructField, TimestampType
+
+        from ..operators.checks import VERDICT_SCHEMA, VIOLATION_SCHEMA
+
+        base = VERDICT_SCHEMA if kind == "verdicts" else VIOLATION_SCHEMA
+        fields = list(base.fields) + [
+            StructField("run_id", StringType()),
+            StructField("written_at", TimestampType()),
+        ]
+        return spark.createDataFrame([], schema=type(base)(fields))
+
+    def _verdict_paths(self, run_id: str, as_of: str | None) -> list[str]:
+        """Filesets a current verdict read touches: latest compacted
+        snapshot (if any) + the batch tail after it — bounded by
+        compact_every, not by run length. `as_of` reads use the raw
+        commit-log prefix (time travel is exact regardless of later
+        compactions)."""
+        batches = self.committed_batches(run_id, as_of)
+        paths: list[str] = []
+        if as_of is None:
+            comp = self._latest_compaction(run_id, batches)
+            if comp is not None:
+                paths.append(self._compact_dir(run_id, comp["upto"]))
+                batches = batches[batches.index(comp["upto"]) + 1 :]
+        paths += [
+            os.path.join(self.base_dir, "verdicts", f"run={run_id}", f"batch={b}")
+            for b in batches
+        ]
+        return [p for p in paths if os.path.exists(p)]
 
     def _read_batches(
         self, spark: SparkSession, kind: str, run_id: str, batches: list[str]
@@ -123,6 +205,11 @@ class ParquetTableIO:
             for b in batches
         ]
         paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            # no committed filesets (fresh run, or a run whose batches
+            # wrote no violations): an empty typed frame, not a confusing
+            # zero-path analysis error
+            return self._empty_results(spark, kind)
         return spark.read.parquet(*paths)
 
     def read_verdicts(
@@ -130,10 +217,13 @@ class ParquetTableIO:
     ) -> DataFrame:
         """Committed batches only (uncommitted appends are invisible);
         MERGE semantics on read: newest write per (partition_id, check_id).
-        `as_of` pins to a past snapshot (batch id) — time travel."""
-        df = self._read_batches(
-            spark, "verdicts", run_id, self.committed_batches(run_id, as_of)
-        )
+        `as_of` pins to a past snapshot (batch id) — time travel. Current
+        reads go through the latest compacted snapshot + batch tail, so
+        cost does not grow with run length."""
+        paths = self._verdict_paths(run_id, as_of)
+        if not paths:
+            return self._empty_results(spark, "verdicts")
+        df = spark.read.parquet(*paths)
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("partition_id", "check_id").orderBy(F.col("written_at").desc())

@@ -121,6 +121,44 @@ def test_batched_commits_preserve_completed_slices(spark, synth_tables, tmp_path
     assert merged == {k: v for k, v in expected.items() if k[0] >= 0}
 
 
+def test_compaction_bounds_read_filesets(spark, tmp_path):
+    """MERGE-on-read cost must not grow with commit count: with
+    compact_every=2, ten commits leave a current read touching at most 2
+    filesets (latest compacted snapshot + tail), newest-wins resolution
+    stays exact, and as_of time travel over the raw commit log is
+    unaffected by compactions."""
+    io = ParquetTableIO(str(tmp_path / "cmp"), compact_every=2)
+    from ssimulacra2_spark.operators.checks import VERDICT_SCHEMA
+
+    for i in range(10):
+        # partition i gets a fresh verdict each commit; partition 0 is
+        # rewritten every time (newest-wins must keep only commit 9's row)
+        rows = [(0, "chk", i % 2 == 0, i, None), (i + 1, "chk", True, 0, None)]
+        io.write_results("r", spark.createDataFrame(rows, schema=VERDICT_SCHEMA), None)
+
+    batches = io.committed_batches("r")
+    assert len(batches) == 10
+    assert len(io._verdict_paths("r", as_of=None)) <= 2
+
+    got = {
+        r.partition_id: (r.passed, r.n_violations)
+        for r in io.read_verdicts(spark, "r").collect()
+    }
+    assert got[0] == (False, 9)  # newest write wins through compactions
+    assert set(got) == set(range(12)) - {11}
+
+    # time travel: the view as of commit 4 is exactly commits 0..4
+    snap = {
+        r.partition_id: r.n_violations
+        for r in io.read_verdicts(spark, "r", as_of=batches[4]).collect()
+    }
+    assert snap[0] == 4 and set(snap) == {0, 1, 2, 3, 4, 5}
+
+    # empty-path handling: fresh run ids give typed empty frames
+    assert io.read_verdicts(spark, "nope").count() == 0
+    assert io.read_violations(spark, "r").count() == 0
+
+
 def test_snapshot_time_travel(spark, synth_tables, tmp_path):
     """as_of pins reads to a past commit: the snapshot view equals what a
     reader saw at that commit, regardless of later appends."""
