@@ -1,11 +1,19 @@
 """Multimodal-column plumbing + vectorized-UDF surface + sketch profiles.
 
 Multimodal payloads (image/audio/video) are opaque binary columns with
-typed metadata. The container has no codec libraries, so the *decode* step
-is a clearly-marked deterministic fake — but the Spark-side plumbing
-(binary schema, Arrow batching via mapInPandas, batch shapes, partition
-behavior) is real and tested. The fake decode is pure arithmetic on byte
-length, so even the UDF path gets a full DuckDB oracle.
+typed metadata. Decode dispatch has three tiers:
+
+  1. _real_decode   — full codec decode (PIL); codec-gated, raises a
+                      clearly-marked NotImplementedError in this
+                      codec-less container.
+  2. _png_parse     — REAL header parsing without any codec: PNG IHDR
+                      width/height/bit-depth straight from the bytes
+                      (signature + big-endian fields + CRC32 verified);
+                      oracle-checked end-to-end (multimodal_png_meta).
+  3. _fake_decode   — deterministic arithmetic fake, kept so the Arrow
+                      plumbing (binary schema, batch shapes, partition
+                      behavior) is exercised for formats tier 2 can't
+                      header-parse; fully oracle-checked too.
 """
 
 from __future__ import annotations
@@ -114,6 +122,109 @@ SELECT doc_id,
   CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
   CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
   CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Real header parsing without codecs: PNG IHDR (width/height/bit-depth need
+# no decoder — the third dispatch tier between _real_decode and _fake_decode)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_LEN = 33  # 8 sig + 4 len + 4 'IHDR' + 13 data + 4 crc
+
+
+def _png_synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit REAL PNG file headers (signature + IHDR chunk with a valid
+    CRC32) as a binary payload column — the writer half of the binary
+    round-trip. bit depth 8, color type 2 (truecolor), per the PNG spec."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        payloads = []
+        for w, h in zip(pdf["width"], pdf["height"]):
+            chunk = b"IHDR" + struct.pack(">IIBBBBB", int(w), int(h), 8, 2, 0, 0, 0)
+            payloads.append(
+                _PNG_SIG
+                + struct.pack(">I", 13)
+                + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _png_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse width/height/bit-depth/color-type out of PNG IHDR bytes —
+    genuinely reading the binary payload (signature checked, big-endian
+    fields decoded, CRC32 verified), no codec library involved. Fixed
+    header length makes the field extraction a single reshaped-uint8
+    numpy pass, vectorized across the Arrow batch."""
+    import zlib
+
+    import numpy as np
+
+    cols = ["doc_id", "width", "height", "bit_depth", "color_type"]
+    sig = np.frombuffer(_PNG_SIG, np.uint8)
+    shifts = np.array([24, 16, 8, 0], np.uint32)
+
+    def be32(arr, lo):  # big-endian u32 column slice
+        return (arr[:, lo : lo + 4].astype(np.uint32) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=cols)
+            continue
+        raw = b"".join(pdf["payload"])
+        arr = np.frombuffer(raw, np.uint8).reshape(len(pdf), _PNG_LEN)
+        if not (arr[:, :8] == sig).all():
+            raise ValueError("payload is not a PNG (bad signature)")
+        crc = be32(arr, 29)
+        for i, p in enumerate(pdf["payload"]):
+            if zlib.crc32(p[12:29]) & 0xFFFFFFFF != int(crc[i]):
+                raise ValueError(f"IHDR CRC mismatch in row {i}")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": be32(arr, 16).astype("int32"),
+                "height": be32(arr, 20).astype("int32"),
+                "bit_depth": arr[:, 24].astype("int32"),
+                "color_type": arr[:, 25].astype("int32"),
+            }
+        )
+
+
+@(lambda fn: (QUERIES.__setitem__("multimodal_png_meta", fn), fn)[1])
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free REAL decode tier: synthesize valid PNG headers into a
+    binary column (Arrow stage 1), then parse width/height/bit-depth back
+    OUT of the bytes (Arrow stage 2: signature + big-endian fields + CRC32
+    check). Unlike multimodal_decode_stub's arithmetic fake, the parsed
+    values only match the oracle if the byte-level write->read round trip
+    is correct — so the oracle verifies real binary parsing. Scale shape:
+    two chained mapInPandas projections, no shuffle. Ref analog: container
+    metadata probing before decode, video.rs:268-287."""
+    docs = load(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (F.octet_length(F.col("text")) % 640 + 16).cast("int").alias("width"),
+        (F.octet_length(F.col("text")) % 480 + 16).cast("int").alias("height"),
+    )
+    blobs = dims.mapInPandas(_png_synthesize, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        _png_parse,
+        schema="doc_id long, width int, height int, bit_depth int, color_type int",
+    )
+
+
+ORACLES["multimodal_png_meta"] = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type
 FROM documents
 """
 
