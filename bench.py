@@ -41,6 +41,9 @@ HEADLINE_QUERIES = [
     "quality_score",
     "token_count",
     "multimodal_decode_stub",
+    "multimodal_png_meta",
+    "sessionize_gap",
+    "asof_join_policy",
     "limit_scales",
     "proj_ssim_expr",
     "agg_weighted_score",

@@ -123,10 +123,17 @@ def _smooth_many(
 
 
 def _downsample_masked(
-    v1: np.ndarray, v2: np.ndarray, run_id: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    v1: np.ndarray,
+    v2: np.ndarray,
+    run_id: np.ndarray,
+    g: np.ndarray | None = None,
+):
     """Edge-clamped pairwise 2x mean per conversation run (vectorized;
-    ≙ downscale_by_2's odd-edge clamp, lib.rs:181-182)."""
+    ≙ downscale_by_2's odd-edge clamp, lib.rs:181-182). `g` optionally
+    carries each row's GLOBAL scale-index (chunked path): kept rows'
+    next-scale global index is g//2 — exact because chunk segments start
+    at positions aligned to 2^num_scales, so run-relative parity equals
+    global parity at every scale."""
     n = len(v1)
     idx = np.arange(n)
     starts = np.ones(n, dtype=bool)
@@ -141,7 +148,10 @@ def _downsample_masked(
     same[:-1] = run_id[:-1] == run_id[1:]
     p1 = np.where(same, v1[nxt], v1)
     p2 = np.where(same, v2[nxt], v2)
-    return ((v1 + p1) / 2.0)[keep], ((v2 + p2) / 2.0)[keep], run_id[keep]
+    out = (((v1 + p1) / 2.0)[keep], ((v2 + p2) / 2.0)[keep], run_id[keep])
+    if g is None:
+        return out
+    return (*out, g[keep] // 2)
 
 
 def _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12):
@@ -205,6 +215,121 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     )
 
 
+def halo_turns(cfg: CheckSuiteConfig) -> int:
+    """Halo width for the chunked kernel: every scale-s output consumed
+    downstream needs r smoothing neighbors at scale s plus the 2x
+    pyramid support, i.e. < (r+1)*2^s original positions per scale;
+    (r+1)*2^num_scales bounds the total and keeps the halo a multiple of
+    2^num_scales (parity alignment for the downsample chain)."""
+    r = len(KERNEL_TAPS) // 2
+    return (r + 1) << cfg.num_scales
+
+
+def drift_partials_chunked(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """Chunked variant of drift_partials for the one case the sub-bucket
+    bound cannot help: a SINGLE conversation too large for one pandas
+    batch (it hashes entirely to one (bucket, sub-bucket)).
+
+    paired must carry `pos` (dense per-conversation rank over the JOINED
+    pair series — computed skew-safely upstream) . Each row is exploded
+    to its own chunk plus the neighboring chunk within `halo_turns`
+    positions (~2H/C duplication, <2% at the default chunk size); one
+    batch = (partition_id, drift_sub, chunk). Inside the batch the full
+    pyramid runs over core+halo, but partial sums only count outputs the
+    chunk OWNS — global scale-s index in [k*C/2^s, (k+1)*C/2^s) — so
+    every output is counted exactly once across chunks and halo-edge
+    garbage (truncated smoothing support, mid-series clamp) never
+    escapes: it lives >= r outside the owned range by the halo bound.
+    Property-pinned equal to the unchunked kernel at 1e-12
+    (tests/test_properties.py::test_drift_chunked_matches_unchunked)."""
+    taps = np.asarray(KERNEL_TAPS)
+    channels = tuple(cfg.channels)
+    num_scales = cfg.num_scales
+    C = cfg.drift_chunk_turns
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_key", "conv_key2", "pos"], kind="mergesort")
+        pid = int(pdf["partition_id"].iloc[0])
+        k = int(pdf["chunk"].iloc[0])
+        conv = pdf["conv_key"].to_numpy()
+        conv2 = pdf["conv_key2"].to_numpy()
+        g0 = pdf["pos"].to_numpy(np.int64)
+        starts = np.ones(len(pdf), dtype=bool)
+        starts[1:] = (conv[1:] != conv[:-1]) | (conv2[1:] != conv2[:-1])
+        run_id0 = np.cumsum(starts)
+        out = []
+        for ch in channels:
+            v1 = pdf[f"v1_{ch}"].to_numpy(np.float64)
+            v2 = pdf[f"v2_{ch}"].to_numpy(np.float64)
+            rid, g = run_id0, g0
+            for s in range(num_scales):
+                if s > 0:
+                    v1, v2, rid, g = _downsample_masked(v1, v2, rid, g)
+                lo, hi = (k * C) >> s, ((k + 1) * C) >> s
+                own = (g >= lo) & (g < hi)
+                n_own = int(own.sum())
+                mu1, mu2, s11, s22, s12 = _smooth_many(
+                    [v1, v2, v1 * v1, v2 * v2, v1 * v2], rid, taps
+                )
+                d_ssim, artifact, detail = _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12)
+                for m, arr in (("ssim", d_ssim), ("artifact", artifact), ("detail", detail)):
+                    a = arr[own]
+                    out.append((pid, ch, s, m, float(a.sum()), float((a**4).sum()), n_own))
+        return pd.DataFrame(
+            out,
+            columns=["partition_id", "channel", "scale", "map", "sum_d", "sum_d4", "n"],
+        )
+
+    return paired.groupBy("partition_id", "drift_sub", "chunk").applyInPandas(
+        fn, schema=_PARTIAL_SCHEMA
+    )
+
+
+def _with_chunks(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """Dense per-conversation positions over the joined pair series +
+    halo-duplicated chunk targets — every window here is per
+    (conversation, turn-range chunk), never whole-conversation (same
+    two-phase prefix pattern as sessionize_gap / monotone_ts)."""
+    from pyspark.sql.window import Window
+
+    C = cfg.drift_chunk_turns
+    H = halo_turns(cfg)
+    if C % (1 << cfg.num_scales) or C < 2 * H:
+        raise ValueError(
+            f"drift_chunk_turns must be a multiple of 2^num_scales and >= "
+            f"2*halo ({2 * H}); got {C}"
+        )
+    keys = ["conv_key", "conv_key2"]
+    d = paired.withColumn("tchunk", F.floor(F.col("turn_idx") / C))
+    w_in = Window.partitionBy(*keys, "tchunk").orderBy("turn_idx")
+    d = d.withColumn("rn_in", F.row_number().over(w_in) - 1)
+    cnt = d.groupBy(*keys, "tchunk").agg(F.count("*").alias("n_in"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("tchunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.withColumn(
+        "t_off", F.coalesce(F.sum("n_in").over(w_off), F.lit(0))
+    ).select(*keys, "tchunk", "t_off")
+    d = d.join(off, [*keys, "tchunk"]).withColumn(
+        "pos", (F.col("rn_in") + F.col("t_off")).cast("long")
+    )
+    posc = F.col("pos") % C
+    base = F.floor(F.col("pos") / C)
+    targets = F.filter(
+        F.array(
+            base,
+            F.when(posc < H, base - 1),
+            F.when(posc >= C - H, base + 1),
+        ),
+        lambda x: x.isNotNull() & (x >= 0),
+    )
+    return d.withColumn("chunk", F.explode(targets)).drop(
+        "tchunk", "rn_in", "t_off", "turn_idx"
+    )
+
+
 def drift_score_check_arrow(
     ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
 ):
@@ -239,7 +364,16 @@ def drift_score_check_arrow(
         *[F.col(f"ch_{ch}").alias(f"v2_{ch}") for ch in cfg.channels],
     )
     paired = r.join(c, ["conv_key", "conv_key2", "turn_idx"])
-    partials = drift_partials(paired, cfg)
+    if cfg.drift_chunk_turns:
+        # chunked kernel: bounds one pandas batch by the CHUNK size even
+        # when a single conversation exceeds a whole sub-bucket's budget
+        # (it hashes to one (bucket, sub-bucket) — the only skew the
+        # sub-bucket fanout can't split). Costs two extra fact exchanges
+        # (rank windows + chunk regroup), so it's off by default and
+        # enabled for corpora with pathological conversation lengths.
+        partials = drift_partials_chunked(_with_chunks(paired, cfg), cfg)
+    else:
+        partials = drift_partials(paired, cfg)
     metrics = (
         partials.groupBy("partition_id", "channel", "scale", "map")
         .agg(

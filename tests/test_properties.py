@@ -98,6 +98,62 @@ def test_drift_subbuckets_exact(spark, synth_tables):
 
 
 # --------------------------------------------------------------------------
+# Chunked drift kernel (halo overlap) == unchunked kernel
+# --------------------------------------------------------------------------
+
+
+def test_drift_chunked_matches_unchunked(spark):
+    """drift_chunk_turns bounds a pandas batch by chunk size even for one
+    giant conversation; ownership masking + halo must reproduce the
+    unchunked scores exactly — including under missing-turn gaps on both
+    sides (dense positions are ranked over the JOINED series, so chunk
+    parity alignment must survive gaps)."""
+    from dataclasses import replace
+
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.operators.checks import partition_counts, prepare
+    from ssimulacra2_spark.operators.drift_arrow import halo_turns
+
+    rng = np.random.default_rng(17)
+    rows_r, rows_c = [], []
+    for conv in range(6):
+        n = int(rng.integers(700, 2500))
+        drop_r = set(rng.choice(n, size=n // 50, replace=False).tolist())
+        drop_c = set(rng.choice(n, size=n // 50, replace=False).tolist())
+        for i in range(n):
+            text = f"turn {conv} {i} " + "x " * int(rng.integers(0, 60))
+            tsv = pd.Timestamp("2025-01-01") + pd.to_timedelta(i, unit="s")
+            if i not in drop_r:
+                rows_r.append((f"c{conv}", i, "user", text, None, tsv))
+            if i not in drop_c:
+                rows_c.append(
+                    (f"c{conv}", i, "user", text if i % 97 else text.upper(), None, tsv)
+                )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    cfg0 = CheckSuiteConfig(
+        n_buckets=4, num_scales=4, channels=("len", "tok"), drift_subbuckets=2
+    )
+    assert 256 >= 2 * halo_turns(cfg0)  # the test chunk size is legal
+    ref = prepare(spark.createDataFrame(pd.DataFrame(rows_r, columns=cols)), cfg0)
+    cand = prepare(spark.createDataFrame(pd.DataFrame(rows_c, columns=cols)), cfg0)
+    parts = partition_counts(ref).select("partition_id")
+    scores = []
+    for chunk in (0, 256):  # ~4-10 chunk boundaries per conversation
+        from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
+
+        cfg = replace(cfg0, drift_chunk_turns=chunk)
+        out = drift_score_check_arrow(ref, cand, parts, cfg)
+        scores.append({r.partition_id: r.score for r in out.verdicts.collect()})
+    assert scores[0].keys() == scores[1].keys()
+    for pid, a in scores[0].items():
+        b = scores[1][pid]
+        if a is None or b is None:
+            assert a == b
+        else:
+            assert a == pytest.approx(b, rel=1e-12), pid
+
+
+# --------------------------------------------------------------------------
 # Bucket-star components == clique components
 # --------------------------------------------------------------------------
 
