@@ -241,6 +241,59 @@ def test_ema_blocked_equals_naive(n, seed):
 
 
 # --------------------------------------------------------------------------
+# As-of carry == pandas merge_asof (third independent implementation;
+# the registry oracle is DuckDB's native ASOF JOIN — this pins the
+# sorted-carry plan against a different engine again, with random data)
+# --------------------------------------------------------------------------
+
+
+def test_asof_carry_matches_merge_asof(spark, tmp_path):
+    from ssimulacra2_spark.registry.engineops import QUERIES
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    base = pd.Timestamp("2025-05-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 50, n),
+            "event_type": "click",
+            "value": rng.normal(0, 1, n),
+            "props": "{}",
+            # seconds-resolution, deliberately with ts collisions
+            "ts": base + pd.to_timedelta(rng.integers(0, 6 * 86400, n), unit="s"),
+        }
+    )
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.policy_id: r.n_events
+        for r in QUERIES["asof_join_policy"](spark, str(tmp_path)).collect()
+    }
+
+    dim = (
+        ev[ev.event_id % 97 == 0]
+        .groupby("ts", as_index=False)
+        .agg(policy_id=("event_id", "max"))
+        .rename(columns={"ts": "policy_ts"})
+        .sort_values("policy_ts")
+    )
+    m = pd.merge_asof(
+        ev.sort_values("ts"),
+        dim,
+        left_on="ts",
+        right_on="policy_ts",
+        direction="backward",  # policy_ts <= ts, inclusive — same bound
+    )
+    want = (
+        m.groupby("policy_id", dropna=False)["event_id"].count().to_dict()
+    )
+    want = {(None if pd.isna(k) else int(k)): int(v) for k, v in want.items()}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # Chunked sessionization == whole-user window
 # --------------------------------------------------------------------------
 
