@@ -124,6 +124,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+@(lambda fn: (QUERIES.__setitem__("stream_session_counts", fn), fn)[1])
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of streaming session windows: Spark's built-in
+    session_window(ts, gap) — the Structured Streaming form of
+    sessionize_gap (streaming/validate_stream.py::session_stream runs the
+    identical aggregation incrementally with a watermark; state closes
+    when event time passes session end, tests/test_streaming.py).
+
+    Boundary semantics pinned by the oracle: session windows are
+    [start, last+gap) half-open, so an event arriving EXACTLY gap after
+    the previous one starts a NEW session (the oracle's is_start uses
+    >= gap, unlike sessionize_gap's > gap — both conventions exist in
+    the wild; each is DuckDB-verified against its own definition)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "user_id",
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+ORACLES["stream_session_counts"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+              OR date_part('epoch', ts) - date_part('epoch', prev_ts) >= 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, user_id,
+       COUNT(*) AS n_events, MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM sess GROUP BY user_id, sid
+"""
+
+
 @(lambda fn: (QUERIES.__setitem__("stream_dedup_counts", fn), fn)[1])
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalent of the streaming ingest dedup

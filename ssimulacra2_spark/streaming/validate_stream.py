@@ -117,6 +117,35 @@ def _monotone_state_fn(
     yield from outs
 
 
+def session_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows per conversation: Spark's built-in
+    session_window merges turns separated by < gap; the watermark lets
+    the state store CLOSE a session (and emit its final row) once event
+    time passes session-end + watermark, so state is bounded by open
+    sessions only. This is the incremental form of the batch
+    sessionization (registry stream_session_counts / sessionize_gap) —
+    the session-assembly stage of a streaming training-data pipeline."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on the transcript key: state holds each seen
     (conv_id, turn_idx) only until the event-time watermark passes it, so

@@ -85,6 +85,62 @@ def test_monotone_stream_state_across_batches(spark, tmp_path):
     assert ("b", 2) not in keys
 
 
+def test_session_stream_closes_on_watermark(spark, tmp_path):
+    """session_window + watermark: a session is emitted (append mode)
+    once event time passes session-end + watermark; still-open sessions
+    stay in state. Three single-file micro-batches so the watermark from
+    batch 2's max event time takes effect in batch 3 and closes the
+    early sessions."""
+    import time
+
+    from ssimulacra2_spark.streaming.validate_stream import session_stream
+
+    (tmp_path / "in4").mkdir()
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": ["x"] * len(rows),
+                "tool": pd.array([None] * len(rows), dtype="string"),
+                "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+            }
+        )
+
+    # batch 1: conv a turns 1,2 ten minutes apart (one session); conv b
+    mk(
+        [
+            ("a", 1, "2025-01-01 00:00:00"),
+            ("a", 2, "2025-01-01 00:10:00"),
+            ("b", 1, "2025-01-01 00:00:00"),
+        ]
+    ).to_parquet(str(tmp_path / "in4" / "b1.parquet"), index=False)
+    time.sleep(1.1)
+    # batch 2: conv a re-appears 3h later -> NEW session (stays open)
+    mk([("a", 3, "2025-01-01 03:00:00")]).to_parquet(
+        str(tmp_path / "in4" / "b2.parquet"), index=False
+    )
+    time.sleep(1.1)
+    # batch 3: advances nothing new for a/b; lets batch-2's watermark act
+    mk([("c", 1, "2025-01-01 03:00:01")]).to_parquet(
+        str(tmp_path / "in4" / "b3.parquet"), index=False
+    )
+
+    stream = read_transcript_stream(spark, str(tmp_path / "in4"), max_files=1)
+    out = str(tmp_path / "out4")
+    run_available_now(session_stream(stream), out, str(tmp_path / "ckpt4"))
+    got = {
+        (r.conv_id, r.first_turn): (r.n_turns, r.last_turn)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("a", 1)] == (2, 2)  # closed session: both turns merged
+    assert got[("b", 1)] == (1, 1)
+    assert ("a", 3) not in got  # still open at stream end
+    assert ("c", 1) not in got
+
+
 def test_dedup_stream_across_batches(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a key re-arriving in a later
     micro-batch (within the watermark) is suppressed; distinct keys pass."""
