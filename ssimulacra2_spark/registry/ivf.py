@@ -95,6 +95,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_sql(dialect: str) -> str:
+    """recall@k of the IVF cell-restricted search vs exact brute force,
+    per query — the quality gate for the cell-bucketed scale path (same
+    shape as ann_lsh_recall; deterministic, so fully oracle-checkable).
+    On the isotropic driver fixture a single-probe 8-cell IVF misses
+    same-rank neighbors in other cells — the measured value is the
+    honest operating point; clustered corpora (and multi-probe) raise it
+    exactly as with LSH."""
+    lit = _lit_spark if dialect == "spark" else _lit_duck
+    dot = _DOT if dialect == "spark" else _DOT_DUCK
+    norm = _NORM if dialect == "spark" else _NORM_DUCK
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, {_cell_expr("embedding", lit)} AS cell
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, cell FROM assigned WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS c_id, embedding AS ce, cell FROM assigned),
+ivf_ranked AS (
+  SELECT q_id, c_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM (
+    SELECT q_id, c_id,
+      ROUND({dot.format(a="qe", b="ce")}
+        / (SQRT({norm.format(a="qe")}) * SQRT({norm.format(a="ce")})), 6) AS cosine
+    FROM q JOIN c USING (cell) WHERE q_id <> c_id
+  )
+),
+bf_ranked AS (
+  SELECT q_id, c_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM (
+    SELECT q.q_id, e.vec_id AS c_id,
+      ROUND({dot.format(a="qe", b="e.embedding")}
+        / (SQRT({norm.format(a="qe")}) * SQRT({norm.format(a="e.embedding")})), 6) AS cosine
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id
+  )
+),
+hits AS (
+  SELECT b.q_id, CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM (SELECT * FROM bf_ranked WHERE rank <= {_TOP_K}) b
+  LEFT JOIN (SELECT * FROM ivf_ranked WHERE rank <= {_TOP_K}) i
+    ON b.q_id = i.q_id AND b.c_id = i.c_id
+)
+SELECT q_id, ROUND(CAST(SUM(hit) AS DOUBLE) / {_TOP_K}, 6) AS recall_at_k
+FROM hits GROUP BY q_id
+"""
+
+
+def _run_shared(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ._util import shared_sql
+
+    return shared_sql(spark, sf_dir, sql, ["embeddings"])
+
+
+QUERIES["ann_ivf_recall"] = lambda spark, sf_dir: _run_shared(
+    spark, sf_dir, _ivf_recall_sql("spark")
+)
+QUERIES["ann_ivf_recall"].__doc__ = _ivf_recall_sql.__doc__
+ORACLES["ann_ivf_recall"] = _ivf_recall_sql("duck")
+
+
 ORACLES["ann_ivf_topk"] = f"""
 WITH assigned AS (
   SELECT vec_id, embedding, {_cell_expr("embedding", _lit_duck)} AS cell
