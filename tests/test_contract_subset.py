@@ -24,6 +24,12 @@ SUBSET = [
     "salted_two_phase_agg",
     "multimodal_decode_stub",
     "featurize_text",
+    # round-3 additions / rewrites
+    "asof_join_policy",
+    "sessionize_gap",
+    "multimodal_png_meta",
+    "stream_session_counts",
+    "ann_ivf_recall",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
