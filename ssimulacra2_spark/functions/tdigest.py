@@ -120,12 +120,14 @@ def tdigest_quantiles(
     # collapses to one bucket) and (b) be DETERMINISTIC under task retry:
     # a nondeterministic shuffle key (e.g. monotonically_increasing_id)
     # can re-bucket recomputed rows after a fetch failure, silently
-    # dropping/duplicating rows in the phase-1 digests. Callers pass
-    # row_key_cols (a stable per-row key like event_id); without one we
-    # fall back to hashing ALL columns — deterministic, but exact
-    # duplicate rows of a constant-valued hot group then share a bucket
-    # (documented residual: digests stay correct, skew fanout degrades).
-    key_cols = list(row_key_cols) if row_key_cols else list(df.columns)
+    # dropping/duplicating rows in the phase-1 digests. Callers should
+    # pass row_key_cols (a stable per-row key like event_id) to get both.
+    # Without one, the fallback hashes (group, value) only — deterministic
+    # and type-safe on any frame (hashing all columns would break on
+    # hash-unsupported types like maps and scan every column for nothing),
+    # at the documented cost that a constant-valued hot group collapses
+    # into one phase-1 bucket (digests stay correct; skew fanout degrades).
+    key_cols = list(row_key_cols) if row_key_cols else [group_col, value_col]
     salted = df.select(
         F.col(group_col).cast("string").alias(group_col),
         F.col(value_col).alias(value_col),

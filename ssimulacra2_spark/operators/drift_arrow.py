@@ -163,18 +163,26 @@ def _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12):
     return d_ssim, np.maximum(d1, 0.0), np.maximum(-d1, 0.0)
 
 
-def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
-    """paired: (partition_id, conv_id, turn_idx, v1_<ch>, v2_<ch> ...) —
-    one applyInPandas per partition bucket emitting partial sums."""
+def _make_partials_fn(cfg: CheckSuiteConfig, chunked: bool):
+    """ONE kernel body for both the whole-sub-bucket and the chunked
+    paths (they must never diverge — a math fix applied to one copy and
+    not the other is exactly the bug class this prevents). The chunked
+    variant differs only in its sort key (dense pos instead of turn_idx),
+    the carried global-index array, and the ownership mask applied to the
+    partial sums."""
     taps = np.asarray(KERNEL_TAPS)
     channels = tuple(cfg.channels)
     num_scales = cfg.num_scales
+    C = cfg.drift_chunk_turns
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_key", "conv_key2", "turn_idx"], kind="mergesort")
+        order = "pos" if chunked else "turn_idx"
+        pdf = pdf.sort_values(["conv_key", "conv_key2", order], kind="mergesort")
         pid = int(pdf["partition_id"].iloc[0])
+        k = int(pdf["chunk"].iloc[0]) if chunked else 0
         conv = pdf["conv_key"].to_numpy()
         conv2 = pdf["conv_key2"].to_numpy()
+        g0 = pdf["pos"].to_numpy(np.int64) if chunked else None
         starts = np.ones(len(pdf), dtype=bool)
         starts[1:] = (conv[1:] != conv[:-1]) | (conv2[1:] != conv2[:-1])
         run_id0 = np.cumsum(starts)
@@ -186,23 +194,37 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
             # featurized channels to f32 at the same point)
             v1 = pdf[f"v1_{ch}"].to_numpy(np.float64)
             v2 = pdf[f"v2_{ch}"].to_numpy(np.float64)
-            rid = run_id0
+            rid, g = run_id0, g0
             for s in range(num_scales):
                 if s > 0:
-                    v1, v2, rid = _downsample_masked(v1, v2, rid)
+                    if chunked:
+                        v1, v2, rid, g = _downsample_masked(v1, v2, rid, g)
+                    else:
+                        v1, v2, rid = _downsample_masked(v1, v2, rid)
+                if chunked:
+                    own = (g >= (k * C) >> s) & (g < ((k + 1) * C) >> s)
+                    n_own = int(own.sum())
+                else:
+                    own = slice(None)
+                    n_own = len(v1)
                 mu1, mu2, s11, s22, s12 = _smooth_many(
                     [v1, v2, v1 * v1, v2 * v2, v1 * v2], rid, taps
                 )
                 d_ssim, artifact, detail = _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12)
                 for m, arr in (("ssim", d_ssim), ("artifact", artifact), ("detail", detail)):
-                    out.append(
-                        (pid, ch, s, m, float(arr.sum()), float((arr**4).sum()), len(arr))
-                    )
+                    a = arr[own]
+                    out.append((pid, ch, s, m, float(a.sum()), float((a**4).sum()), n_own))
         return pd.DataFrame(
             out,
             columns=["partition_id", "channel", "scale", "map", "sum_d", "sum_d4", "n"],
         )
 
+    return fn
+
+
+def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
+    """paired: (partition_id, conv_id, turn_idx, v1_<ch>, v2_<ch> ...) —
+    one applyInPandas per partition bucket emitting partial sums."""
     # group by (partition_id, sub-bucket): a whole verdict bucket can be
     # ~dataset/n_buckets rows — too big for one pandas batch at scale. The
     # sub-bucket is a function of the conversation key, so conversations
@@ -211,7 +233,7 @@ def drift_partials(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     # the downstream groupBy for free. Per-task memory is then bounded by
     # rows/(n_buckets * drift_subbuckets) * (2*channels + 3) doubles.
     return paired.groupBy("partition_id", "drift_sub").applyInPandas(
-        fn, schema=_PARTIAL_SCHEMA
+        _make_partials_fn(cfg, chunked=False), schema=_PARTIAL_SCHEMA
     )
 
 
@@ -242,46 +264,8 @@ def drift_partials_chunked(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFram
     escapes: it lives >= r outside the owned range by the halo bound.
     Property-pinned equal to the unchunked kernel at 1e-12
     (tests/test_properties.py::test_drift_chunked_matches_unchunked)."""
-    taps = np.asarray(KERNEL_TAPS)
-    channels = tuple(cfg.channels)
-    num_scales = cfg.num_scales
-    C = cfg.drift_chunk_turns
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_key", "conv_key2", "pos"], kind="mergesort")
-        pid = int(pdf["partition_id"].iloc[0])
-        k = int(pdf["chunk"].iloc[0])
-        conv = pdf["conv_key"].to_numpy()
-        conv2 = pdf["conv_key2"].to_numpy()
-        g0 = pdf["pos"].to_numpy(np.int64)
-        starts = np.ones(len(pdf), dtype=bool)
-        starts[1:] = (conv[1:] != conv[:-1]) | (conv2[1:] != conv2[:-1])
-        run_id0 = np.cumsum(starts)
-        out = []
-        for ch in channels:
-            v1 = pdf[f"v1_{ch}"].to_numpy(np.float64)
-            v2 = pdf[f"v2_{ch}"].to_numpy(np.float64)
-            rid, g = run_id0, g0
-            for s in range(num_scales):
-                if s > 0:
-                    v1, v2, rid, g = _downsample_masked(v1, v2, rid, g)
-                lo, hi = (k * C) >> s, ((k + 1) * C) >> s
-                own = (g >= lo) & (g < hi)
-                n_own = int(own.sum())
-                mu1, mu2, s11, s22, s12 = _smooth_many(
-                    [v1, v2, v1 * v1, v2 * v2, v1 * v2], rid, taps
-                )
-                d_ssim, artifact, detail = _ssim_maps(v1, v2, mu1, mu2, s11, s22, s12)
-                for m, arr in (("ssim", d_ssim), ("artifact", artifact), ("detail", detail)):
-                    a = arr[own]
-                    out.append((pid, ch, s, m, float(a.sum()), float((a**4).sum()), n_own))
-        return pd.DataFrame(
-            out,
-            columns=["partition_id", "channel", "scale", "map", "sum_d", "sum_d4", "n"],
-        )
-
     return paired.groupBy("partition_id", "drift_sub", "chunk").applyInPandas(
-        fn, schema=_PARTIAL_SCHEMA
+        _make_partials_fn(cfg, chunked=True), schema=_PARTIAL_SCHEMA
     )
 
 

@@ -132,11 +132,12 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical aggregation incrementally with a watermark; state closes
     when event time passes session end, tests/test_streaming.py).
 
-    Boundary semantics pinned by the oracle: session windows are
-    [start, last+gap) half-open, so an event arriving EXACTLY gap after
-    the previous one starts a NEW session (the oracle's is_start uses
-    >= gap, unlike sessionize_gap's > gap — both conventions exist in
-    the wild; each is DuckDB-verified against its own definition)."""
+    Boundary semantics pinned by the oracle AND verified empirically:
+    Spark's session_window MERGES an event arriving exactly gap after
+    the previous one (two events 1800s apart with a 30-minute gap form
+    ONE session) — a new session starts only when the gap EXCEEDS the
+    threshold, the same > convention as sessionize_gap. The oracle's
+    is_start therefore uses > 1800."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -164,7 +165,7 @@ WITH lagged AS (
 flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN prev_ts IS NULL
-              OR date_part('epoch', ts) - date_part('epoch', prev_ts) >= 1800
+              OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800
               THEN 1 ELSE 0 END AS is_start
   FROM lagged
 ),

@@ -208,10 +208,11 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     two chained mapInPandas projections, no shuffle. Ref analog: container
     metadata probing before decode, video.rs:268-287."""
     docs = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))  # null payload -> 0 bytes
     dims = docs.select(
         "doc_id",
-        (F.octet_length(F.col("text")) % 640 + 16).cast("int").alias("width"),
-        (F.octet_length(F.col("text")) % 480 + 16).cast("int").alias("height"),
+        (nb % 640 + 16).cast("int").alias("width"),
+        (nb % 480 + 16).cast("int").alias("height"),
     )
     blobs = dims.mapInPandas(_png_synthesize, schema="doc_id long, payload binary")
     return blobs.mapInPandas(
@@ -222,8 +223,8 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["multimodal_png_meta"] = """
 SELECT doc_id,
-  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 640 + 16 AS INT) AS width,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 480 + 16 AS INT) AS height,
   CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type
 FROM documents
 """

@@ -325,6 +325,9 @@ def test_sessionize_chunked_matches_whole(spark):
     chunked = canon(sessionize_gap_df(ev, chunk_secs=3600))
     whole = canon(sessionize_gap_df(ev, chunk_secs=10**9))
     assert chunked == whole and len(chunked) > 20
+
+
+def test_rg_dc_gain_across_sigmas():
     from ssimulacra2_spark.functions.recursive_gaussian import rg_smooth_series
 
     for sigma in (0.8, 1.5, 2.5, 4.0):
