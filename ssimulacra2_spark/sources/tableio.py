@@ -156,6 +156,11 @@ class ParquetTableIO:
         if not batches:
             raise ValueError(f"nothing committed for run {run_id!r}")
         upto = batches[-1]
+        prev = self._latest_compaction(run_id, batches)
+        if prev is not None and prev["upto"] == upto:
+            # nothing committed since the last compaction — rewriting would
+            # overwrite the very snapshot the lazy read plan scans
+            return upto
         self.read_verdicts(spark, run_id).write.mode("overwrite").parquet(
             self._compact_dir(run_id, upto)
         )

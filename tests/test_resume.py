@@ -158,6 +158,16 @@ def test_compaction_bounds_read_filesets(spark, tmp_path):
     assert io.read_verdicts(spark, "nope").count() == 0
     assert io.read_violations(spark, "r").count() == 0
 
+    # explicit double-compact with no new commits is an idempotent no-op
+    # (must NOT overwrite the snapshot its own read plan scans)
+    io.compact(spark, "r")
+    io.compact(spark, "r")
+    again = {
+        r.partition_id: (r.passed, r.n_violations)
+        for r in io.read_verdicts(spark, "r").collect()
+    }
+    assert again == got
+
 
 def test_snapshot_time_travel(spark, synth_tables, tmp_path):
     """as_of pins reads to a past commit: the snapshot view equals what a
