@@ -45,25 +45,24 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     cores = spark.sparkContext.defaultParallelism
 
-    from ssimulacra2_spark.benchgen import distort, make_transcripts
+    from ssimulacra2_spark.benchgen import stage_pair
     from ssimulacra2_spark.config import CheckSuiteConfig
     from ssimulacra2_spark.plans.suite import ValidationSuite
 
     # materialize the pair to parquet first: the engine's real input is a
     # table scan, not a generator DAG (which the suite would recompute once
-    # per check branch)
+    # per check branch); stage_pair writes row-balanced files (a production
+    # table writer's layout) while keeping the in-data hot-conversation skew
     import tempfile
 
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="suite_bench_")
-    ref_path, cand_path = f"{data_dir}/ref", f"{data_dir}/cand"
     import os as _os
 
-    if not _os.path.exists(ref_path):
-        gen = make_transcripts(spark, args.turns, args.convs)
-        gen.write.mode("overwrite").parquet(ref_path)
-        distort(spark.read.parquet(ref_path)).write.mode("overwrite").parquet(cand_path)
-    ref = spark.read.parquet(ref_path)
-    cand = spark.read.parquet(cand_path)
+    if not _os.path.exists(f"{data_dir}/ref"):
+        ref, cand = stage_pair(spark, args.turns, args.convs, data_dir)
+    else:
+        ref = spark.read.parquet(f"{data_dir}/ref")
+        cand = spark.read.parquet(f"{data_dir}/cand")
     cfg = CheckSuiteConfig(
         n_buckets=args.buckets,
         num_scales=args.scales,
@@ -86,8 +85,16 @@ def main() -> None:
     )
     def one_pass() -> None:
         verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
-        verdicts.write.format("noop").mode("overwrite").save()
-        violations.write.format("noop").mode("overwrite").save()
+        # concurrent actions: verdict assembly's small stages pack into the
+        # violation sink's idle cores, and the second action's driver-side
+        # planning overlaps the first's execution (bench.py, same pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _sink(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(_sink, [verdicts, violations]))
         spark.catalog.clearCache()  # drop per-pass persisted frames
 
     for _ in range(args.warmup):

@@ -70,6 +70,34 @@ def make_transcripts(
     )
 
 
+def stage_pair(
+    spark: SparkSession,
+    n_turns: int,
+    n_convs: int,
+    base_dir: str,
+    files: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Write the (ref, cand) pair to `base_dir` as ROW-BALANCED parquet and
+    return readers for both.
+
+    make_transcripts ends in a row_number window partitioned by conversation,
+    so its natural output files inherit the conversation-hash layout: the hot
+    conversation's entire slice lands in one file (measured 519k rows vs the
+    240k average — a 2.2x scan-task straggler on every downstream branch).
+    A round-robin repartition before the write emulates what any production
+    table writer does (Iceberg write.target-file-size): file sizes are the
+    WRITER's job, while in-data skew — the hot conversation itself — stays
+    fully present for the engine to handle."""
+    files = files or 4 * spark.sparkContext.defaultParallelism
+    ref_path, cand_path = f"{base_dir}/ref", f"{base_dir}/cand"
+    make_transcripts(spark, n_turns, n_convs).repartition(files).write.mode(
+        "overwrite"
+    ).parquet(ref_path)
+    ref = spark.read.parquet(ref_path)
+    distort(ref).repartition(files).write.mode("overwrite").parquet(cand_path)
+    return ref, spark.read.parquet(cand_path)
+
+
 def distort(transcripts: DataFrame) -> DataFrame:
     """Deterministic candidate snapshot: drop / mutate / corrupt a small
     hash-selected fraction (≙ distort_yuv, benches.rs:66-80)."""

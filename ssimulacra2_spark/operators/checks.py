@@ -230,6 +230,132 @@ def uniqueness_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def order_unique_violations(
+    cand: DataFrame,
+    cfg: CheckSuiteConfig,
+    do_unique: bool = True,
+    do_mono: bool = True,
+) -> DataFrame:
+    """Fused uniqueness + monotone-ordering violations in ONE scan and ONE
+    (conv_id, chunk)-keyed exchange — the suite's fast path when both
+    checks are enabled.
+
+    Why fusible: after sorting by turn_idx within (conv_id, chunk),
+    duplicate (conv_id, turn_idx) keys are ADJACENT (equal turn_idx can
+    never straddle a turn-chunk), so the same sorted pass that computes the
+    monotone lag also sees every duplicate run. Two window functions share
+    the one sort:
+      * lag(ts)  over (conv_id, chunk) ORDER BY turn_idx   -> ordering
+      * count(*) over (conv_id, chunk, turn_idx)           -> key multiplicity
+        (partitioning by a refinement of the sort prefix: Catalyst satisfies
+        both specs with a single exchange + sort — asserted by
+        tests/test_plan_shapes.py)
+    Both violation kinds are emitted from one array+explode projection, so
+    the fact rows are scanned, shuffled, sorted and windowed exactly once.
+    Output rows are IDENTICAL to uniqueness_violations +
+    monotone_ts_violations' in-chunk part (pinned by the shared oracle
+    tests); the cross-chunk boundary pairs still come from the tiny
+    per-chunk summary (same as monotone_ts_violations phase 2).
+    """
+    ts = F.col(cfg.order_col)
+    chunk_rows = cfg.monotone_chunk_turns
+    d = cand.select(
+        "partition_id",
+        "conv_id",
+        "turn_idx",
+        ts.alias("ts_"),
+        F.floor(F.col("turn_idx") / chunk_rows).alias("chunk"),
+    )
+    w_in = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    w_key = Window.partitionBy("conv_id", "chunk", "turn_idx")
+    b = d.select(
+        "partition_id",
+        "conv_id",
+        "turn_idx",
+        "ts_",
+        "chunk",
+        F.lag("ts_").over(w_in).alias("prev_ts"),
+        F.lag("turn_idx").over(w_in).alias("prev_turn"),
+        F.count("*").over(w_key).alias("key_n"),
+    )
+    kinds = []
+    if do_mono:
+        kinds.append(
+            F.when(
+                F.col("ts_") < F.col("prev_ts"),
+                F.struct(
+                    F.lit("monotone_ts").alias("check_id"),
+                    F.lit("invalid").alias("class"),
+                    F.col("ts_").cast("string").alias("observed"),
+                    F.concat(F.lit(">= "), F.col("prev_ts")).alias("expected"),
+                ),
+            )
+        )
+    if do_unique:
+        # exactly one row per duplicated key: the first row of the equal-turn
+        # run (its lag(turn_idx) differs or is null)
+        first_of_key = F.col("prev_turn").isNull() | (
+            F.col("prev_turn") != F.col("turn_idx")
+        )
+        kinds.append(
+            F.when(
+                (F.col("key_n") > 1) & first_of_key,
+                F.struct(
+                    F.lit("uniqueness").alias("check_id"),
+                    F.lit("invalid").alias("class"),
+                    F.concat(F.lit("count="), F.col("key_n")).alias("observed"),
+                    F.lit("count=1").alias("expected"),
+                ),
+            )
+        )
+    v = F.explode(
+        F.filter(F.array(*kinds), lambda x: x.isNotNull())
+    ).alias("v")
+    in_chunk = b.select(
+        F.col("partition_id").cast("int"),
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("int"),
+        v,
+    ).select(
+        "partition_id",
+        F.col("v.check_id").alias("check_id"),
+        "conv_id",
+        "turn_idx",
+        F.col("v.class").alias("class"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
+    )
+    if not do_mono:
+        return in_chunk
+    # cross-chunk boundary pairs over the per-chunk summary (identical to
+    # monotone_ts_violations phase 2)
+    summ = d.groupBy("partition_id", "conv_id", "chunk").agg(
+        F.min("turn_idx").alias("first_turn"),
+        F.min_by("ts_", "turn_idx").alias("first_ts"),
+        F.max_by("ts_", "turn_idx").alias("last_ts"),
+    )
+    w_s = Window.partitionBy("conv_id").orderBy("chunk")
+    boundary = (
+        summ.withColumn("prev_ts", F.lag("last_ts").over(w_s))
+        .filter(F.col("first_ts") < F.col("prev_ts"))
+        .select(
+            "partition_id",
+            "conv_id",
+            F.col("first_turn").alias("turn_idx"),
+            F.col("first_ts").alias("ts_"),
+            "prev_ts",
+        )
+    )
+    boundary_v = _viol(
+        boundary,
+        "monotone_ts",
+        cls=F.lit("invalid"),
+        observed=F.col("ts_"),
+        expected=F.concat(F.lit(">= "), F.col("prev_ts")),
+    )
+    return in_chunk.unionByName(boundary_v)
+
+
 def monotone_ts_violations(cand: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
     """Adjacent-turn ordering check WITHOUT a whole-conversation window.
 
@@ -309,6 +435,54 @@ def vocab_violations(
         cls=F.lit("invalid"),
         observed=F.col(column),
         expected=F.lit(f"in dim_{column}s"),
+    )
+
+
+def vocab_violations_fused(
+    cand: DataFrame,
+    cfg: CheckSuiteConfig,
+    specs: list[tuple[str, tuple[str, ...], bool]],
+) -> DataFrame:
+    """All vocabulary checks in ONE scan of the fact rows.
+
+    Each vocabulary is a small static set, so membership compiles to an In
+    predicate (whole-stage codegen, no join at all) — semantically identical
+    to the broadcast anti-join in vocab_violations incl. the null-key case
+    (a NULL never equi-matches a dim row, so non-nullable columns emit a
+    violation for NULL; pinned by the shared oracle tests). A row violating
+    several vocabularies emits one row per violated check via array+explode.
+    The standalone dim-table-join form remains vocab_violations (used by the
+    registry's referential-integrity query, where the dimension is a real
+    table)."""
+    kinds = []
+    for column, vocab, nullable in specs:
+        col = F.col(column)
+        bad = ~col.isin(*vocab)
+        bad = (col.isNotNull() & bad) if nullable else (col.isNull() | bad)
+        kinds.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(f"vocab_{column}").alias("check_id"),
+                    col.cast("string").alias("observed"),
+                    F.lit(f"in dim_{column}s").alias("expected"),
+                ),
+            )
+        )
+    v = F.explode(F.filter(F.array(*kinds), lambda x: x.isNotNull())).alias("v")
+    return cand.select(
+        F.col("partition_id").cast("int"),
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("int"),
+        v,
+    ).select(
+        "partition_id",
+        F.col("v.check_id").alias("check_id"),
+        "conv_id",
+        "turn_idx",
+        F.lit("invalid").alias("class"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
     )
 
 

@@ -130,18 +130,28 @@ class ValidationSuite:
         # instead of recomputing every check branch a second time
         viol_dfs: list[DataFrame] = []
         viol_check_ids: list[str] = []
-        if "uniqueness" in enabled:
-            viol_dfs.append(C.uniqueness_violations(cand, cfg))
-            viol_check_ids.append("uniqueness")
-        if "monotone_ts" in enabled:
-            viol_dfs.append(C.monotone_ts_violations(cand, cfg))
-            viol_check_ids.append("monotone_ts")
+        do_unique = "uniqueness" in enabled
+        do_mono = "monotone_ts" in enabled
+        if do_unique or do_mono:
+            # fused: one scan + one (conv, chunk) exchange serves both the
+            # key-uniqueness and the ordering check (checks.order_unique_violations)
+            viol_dfs.append(
+                C.order_unique_violations(cand, cfg, do_unique=do_unique, do_mono=do_mono)
+            )
+            viol_check_ids.extend(
+                c for c in ("uniqueness", "monotone_ts")
+                if (c == "uniqueness" and do_unique) or (c == "monotone_ts" and do_mono)
+            )
+        vocab_specs = []
         if "vocab_role" in enabled:
-            viol_dfs.append(C.vocab_violations(cand, cfg, "role", cfg.roles, nullable=False))
+            vocab_specs.append(("role", cfg.roles, False))
             viol_check_ids.append("vocab_role")
         if "vocab_tool" in enabled:
-            viol_dfs.append(C.vocab_violations(cand, cfg, "tool", cfg.tools, nullable=True))
+            vocab_specs.append(("tool", cfg.tools, True))
             viol_check_ids.append("vocab_tool")
+        if vocab_specs:
+            # fused: all vocabularies checked in one scan (In predicates)
+            viol_dfs.append(C.vocab_violations_fused(cand, cfg, vocab_specs))
         if "text_parity" in enabled:
             viol_dfs.append(C.text_parity_violations(ref, cand, cfg))
             viol_check_ids.append("text_parity")

