@@ -109,6 +109,21 @@ class CheckSuiteConfig:
     # extra fact exchanges, worth paying only for corpora with
     # pathological conversation lengths (>= ~10^7 turns in one conv).
     drift_chunk_turns: int = 0
+    # Adaptive chunking (0 = off): conversations whose joined pair series
+    # exceeds this many turns route through the chunked kernel (chunk size
+    # drift_chunk_turns if set, else 65536) while everything else takes the
+    # plain whole-group path — the skew-join idea applied to the custom
+    # kernel. The all-rows chunked path costs two extra fact exchanges for
+    # EVERY row (measured net slower on realistic corpora, ARCHITECTURE §3);
+    # routing only hot conversations pays that cost on the skewed slice
+    # alone, so one 10^6-turn conversation no longer serializes a kernel
+    # task while the rest of the cluster idles. Detection is a cheap
+    # conv-key count on the ref side (map-combinable, pruned scan) broadcast
+    # back as a tag. Size relative to your kernel batch: at the default
+    # bucketing a batch is ~rows/(n_buckets*drift_subbuckets); a threshold
+    # several x that batch average keeps the hot path empty except for true
+    # stragglers.
+    drift_hot_turns: int = 262_144
 
     # how check branches share the prepared compact projection:
     #   'none'    — each branch rescans the pruned source columns (cheap

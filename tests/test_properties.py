@@ -138,19 +138,30 @@ def test_drift_chunked_matches_unchunked(spark):
     cand = prepare(spark.createDataFrame(pd.DataFrame(rows_c, columns=cols)), cfg0)
     parts = partition_counts(ref).select("partition_id")
     scores = []
-    for chunk in (0, 256):  # ~4-10 chunk boundaries per conversation
+    # three paths over identical input:
+    #   plain whole-group kernel (hot threshold unreachable),
+    #   forced all-rows chunking (~4-10 chunk boundaries per conversation),
+    #   adaptive hot/cold routing (threshold 1000 turns splits the 700-2500
+    #   fixture: some conversations route chunked, some plain, in ONE run)
+    arms = [
+        dict(drift_chunk_turns=0),
+        dict(drift_chunk_turns=256, drift_hot_turns=0),
+        dict(drift_chunk_turns=256, drift_hot_turns=1000),
+    ]
+    for knobs in arms:
         from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
 
-        cfg = replace(cfg0, drift_chunk_turns=chunk)
+        cfg = replace(cfg0, **knobs)
         out = drift_score_check_arrow(ref, cand, parts, cfg)
         scores.append({r.partition_id: r.score for r in out.verdicts.collect()})
-    assert scores[0].keys() == scores[1].keys()
-    for pid, a in scores[0].items():
-        b = scores[1][pid]
-        if a is None or b is None:
-            assert a == b
-        else:
-            assert a == pytest.approx(b, rel=1e-12), pid
+    for other in scores[1:]:
+        assert scores[0].keys() == other.keys()
+        for pid, a in scores[0].items():
+            b = other[pid]
+            if a is None or b is None:
+                assert a == b
+            else:
+                assert a == pytest.approx(b, rel=1e-12), pid
 
 
 # --------------------------------------------------------------------------
