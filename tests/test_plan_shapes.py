@@ -61,6 +61,66 @@ def test_aggregations_have_partial_phase(spark, queries):
         assert "partial_" in p, name
 
 
+def test_fused_order_unique_single_fact_exchange(spark):
+    """The fused ordering+uniqueness check must keep ONE fact exchange and
+    ONE fact sort serving BOTH window specs (the duplicate-count window
+    partitions by a refinement of the lag window's sort prefix). A refactor
+    that breaks the refinement re-shuffles/re-sorts 10^12 fact rows."""
+    import pyspark.sql.functions as F
+
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.operators.checks import order_unique_violations, prepare
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("conv_id"),
+        (F.col("id") % 13).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    cfg = CheckSuiteConfig()
+    p = _plan(order_unique_violations(prepare(df, cfg), cfg, True, True))
+    import re
+
+    # fact side: 1 exchange + 1 sort + 2 windows; boundary summary adds at
+    # most 2 more exchanges, 1 more sort, 1 more window (all summary-sized)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 3
+    assert len(re.findall(r"\bSort \[", p)) <= 2
+    assert len(re.findall(r"\bWindow ", p)) == 3
+
+
+def test_adaptive_drift_reuses_pair_join(spark):
+    """Adaptive hot/cold kernel routing must not recompute the pair join's
+    scans/shuffles for its two consumers: the executed plan shows reuse and
+    exactly one plain + one chunked FlatMapGroupsInPandas."""
+    import pyspark.sql.functions as F
+
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.operators.checks import partition_counts, prepare
+    from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
+
+    df = spark.range(20000).select(
+        (F.col("id") % 50).cast("string").alias("conv_id"),
+        (F.col("id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    cfg = CheckSuiteConfig(
+        n_buckets=4, num_scales=4, channels=("len", "tok"),
+        drift_subbuckets=2, drift_hot_turns=100,
+    )
+    ref, cand = prepare(df, cfg), prepare(df, cfg)
+    out = drift_score_check_arrow(
+        ref, cand, partition_counts(ref).select("partition_id"), cfg
+    )
+    assert _plan(out.verdicts).count("FlatMapGroupsInPandas") == 2
+    out.verdicts.collect()  # AQE inserts reuse at runtime
+    assert "Reused" in _plan(out.verdicts)
+
+
 def test_drift_exchange_ships_float32(spark):
     """The prepared channel columns must stay FloatType: a well-meaning
     'fix' back to double doubles the drift exchange bytes."""
