@@ -214,6 +214,14 @@ class ValidationSuite:
             )
             verdicts = verdicts.unionByName(viol_verdicts)
 
+        # the verdict union inherits every branch's partitioning (~350
+        # near-empty result partitions for a KB-scale table): coalesce —
+        # narrow, no exchange; upstream stages keep full parallelism and
+        # only the tiny result stage serializes — so the sink job schedules
+        # 8 tasks instead of ~350 and checkpoint batches write 8 files, not
+        # ~350 10-row files (what an Iceberg writer's target-file-size does)
+        verdicts = verdicts.coalesce(8)
+
         if io is not None:
             io.write_results(run_id, verdicts, violations)
         return verdicts, violations
