@@ -109,21 +109,21 @@ class CheckSuiteConfig:
     # extra fact exchanges, worth paying only for corpora with
     # pathological conversation lengths (>= ~10^7 turns in one conv).
     drift_chunk_turns: int = 0
-    # Adaptive chunking (0 = off): conversations whose joined pair series
-    # exceeds this many turns route through the chunked kernel (chunk size
-    # drift_chunk_turns if set, else 65536) while everything else takes the
-    # plain whole-group path — the skew-join idea applied to the custom
-    # kernel. The all-rows chunked path costs two extra fact exchanges for
-    # EVERY row (measured net slower on realistic corpora, ARCHITECTURE §3);
-    # routing only hot conversations pays that cost on the skewed slice
-    # alone, so one 10^6-turn conversation no longer serializes a kernel
-    # task while the rest of the cluster idles. Detection is a cheap
-    # conv-key count on the ref side (map-combinable, pruned scan) broadcast
-    # back as a tag. Size relative to your kernel batch: at the default
-    # bucketing a batch is ~rows/(n_buckets*drift_subbuckets); a threshold
-    # several x that batch average keeps the hot path empty except for true
-    # stragglers.
-    drift_hot_turns: int = 262_144
+    # Adaptive PLAN choice for the kernel (0 = off): when set (and
+    # drift_chunk_turns is 0), a driver-side probe — one map-combinable
+    # max-of-conv-counts over a conv_id-pruned scan — switches the WHOLE
+    # kernel to the chunked path iff some conversation exceeds this many
+    # turns. Plan-level choice, deliberately NOT row-level hot/cold
+    # routing: the split design was built and measured ~+10s on the 8M
+    # bench (its two filtered consumers re-merge the pair join on every
+    # row, a tax bigger than any straggler it saves — drift_arrow.
+    # _probe_chunking documents the numbers). Off by default because the
+    # probe costs a scan per run; at warehouse scale the same decision
+    # comes free from table statistics (a transcript store tracks
+    # conversation lengths). Set to the corpus size where chunking
+    # measurably wins: >= ~2M turns in one conversation (1.8-2.3x faster
+    # there; net slower below — ARCHITECTURE §3).
+    drift_hot_turns: int = 0
 
     # how check branches share the prepared compact projection:
     #   'none'    — each branch rescans the pruned source columns (cheap

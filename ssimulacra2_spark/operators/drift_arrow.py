@@ -317,39 +317,33 @@ def _with_chunks(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
 _DEFAULT_AUTO_CHUNK = 65_536
 
 
-def _adaptive_partials(
-    ref_side: DataFrame, paired: DataFrame, cfg: CheckSuiteConfig
-) -> DataFrame:
-    """Hot/cold split of the kernel input — AQE skew-join handling applied
-    to the custom applyInPandas operator, which AQE itself cannot split
-    (a conversation hashes entirely to one (bucket, sub-bucket) group).
+def _probe_chunking(ref_side: DataFrame, cfg: CheckSuiteConfig) -> bool:
+    """Driver-side skew probe: should THIS corpus run the chunked kernel?
 
-    Conversations longer than cfg.drift_hot_turns are detected with a
-    map-combinable count over the ref side (column pruning reduces that
-    scan to conv_id only), broadcast back as a tag, and routed through the
-    halo-chunked kernel; everything else takes the plain whole-group path.
-    Partial sums are additive and per-conversation independent, so the
-    union merges exactly (chunked == unchunked is property-pinned). The
-    tagged join subtree feeds both filters — Spark reuses the pair join's
-    exchanges, so fact rows are scanned and shuffled once, and only the
-    cheap merge phase runs per consumer."""
-    from dataclasses import replace
+    Returns True iff some conversation exceeds cfg.drift_hot_turns (one
+    map-combinable max-of-counts over a conv_id-pruned scan; the collected
+    result is a single scalar — control flow, not data movement, same
+    category as dedup_clusters' convergence sum).
 
-    ccfg = replace(
-        cfg, drift_chunk_turns=cfg.drift_chunk_turns or _DEFAULT_AUTO_CHUNK
-    )
-    hot = (
-        ref_side.groupBy("conv_key", "conv_key2")
+    Why plan-level choice instead of row-level hot/cold routing: a split
+    design (tag hot conversations, send them through the chunked kernel and
+    the rest through the plain one) was BUILT AND MEASURED here — it cost
+    ~+10s on the 8M-turn bench against a ~1.5s straggler saving, because
+    the two filtered consumers re-merge/re-sort the pair join and defeat
+    parts of AQE's stage reuse, a tax on ALL rows in every case. All-rows
+    chunking costs ~+3s on the same corpus; the plain kernel's worst case
+    (one 400k-turn conversation in one pandas batch) costs ~1.5-2.5s. So
+    the only decision worth making is corpus-level: if the longest
+    conversation dwarfs a kernel batch, chunk EVERYTHING (measured 1.8-2.3x
+    faster when one conversation IS the workload); otherwise stay plain.
+    One scalar probe, zero plan complexity, no always-on tax."""
+    mx = (
+        ref_side.groupBy("conv_key")
         .agg(F.count("*").alias("n_t"))
-        .filter(F.col("n_t") > cfg.drift_hot_turns)
-        .select("conv_key", "conv_key2", F.lit(True).alias("is_hot"))
+        .agg(F.max("n_t").alias("mx"))
+        .collect()[0]["mx"]
     )
-    tagged = paired.join(F.broadcast(hot), ["conv_key", "conv_key2"], "left")
-    cold = tagged.filter(F.col("is_hot").isNull()).drop("is_hot")
-    hotr = tagged.filter(F.col("is_hot").isNotNull()).drop("is_hot")
-    return drift_partials(cold, cfg).unionByName(
-        drift_partials_chunked(_with_chunks(hotr, ccfg), ccfg)
-    )
+    return mx is not None and mx > cfg.drift_hot_turns
 
 
 def drift_score_check_arrow(
@@ -386,19 +380,18 @@ def drift_score_check_arrow(
         *[F.col(f"ch_{ch}").alias(f"v2_{ch}") for ch in cfg.channels],
     )
     paired = r.join(c, ["conv_key", "conv_key2", "turn_idx"])
-    if cfg.drift_hot_turns:
-        # adaptive (default): only conversations longer than drift_hot_turns
-        # pay the chunked kernel's rank/halo exchanges (chunk size =
-        # drift_chunk_turns if set, else 64k); everything else takes the
-        # plain whole-group path
-        partials = _adaptive_partials(r, paired, cfg)
-    elif cfg.drift_chunk_turns:
-        # forced all-rows chunking (drift_hot_turns=0): bounds one pandas
-        # batch by the chunk size for every conversation, at the price of
-        # two extra fact exchanges over ALL rows — measured net slower on
-        # realistic corpora; kept for corpora where nearly every
-        # conversation is pathological
-        partials = drift_partials_chunked(_with_chunks(paired, cfg), cfg)
+    chunk = cfg.drift_chunk_turns
+    if cfg.drift_hot_turns and not chunk:
+        # adaptive plan choice: probe the corpus for a conversation long
+        # enough that chunking's all-rows tax beats the plain kernel's
+        # straggler (see _probe_chunking for the measured trade)
+        if _probe_chunking(r, cfg):
+            chunk = _DEFAULT_AUTO_CHUNK
+    if chunk:
+        from dataclasses import replace
+
+        ccfg = replace(cfg, drift_chunk_turns=chunk)
+        partials = drift_partials_chunked(_with_chunks(paired, ccfg), ccfg)
     else:
         partials = drift_partials(paired, cfg)
     metrics = (

@@ -90,10 +90,13 @@ def test_fused_order_unique_single_fact_exchange(spark):
     assert len(re.findall(r"\bWindow ", p)) == 3
 
 
-def test_adaptive_drift_reuses_pair_join(spark):
-    """Adaptive hot/cold kernel routing must not recompute the pair join's
-    scans/shuffles for its two consumers: the executed plan shows reuse and
-    exactly one plain + one chunked FlatMapGroupsInPandas."""
+def test_drift_probe_selects_plan_not_row_split(spark):
+    """drift_hot_turns is a PLAN choice (probe -> whole kernel chunked or
+    plain), never a row-level hot/cold split: the split design measured
+    ~+10s on the bench (it re-merges the pair join per consumer). Exactly
+    ONE FlatMapGroupsInPandas must appear either way; the probe flips the
+    halo Generate (explode) on only when a conversation exceeds the
+    threshold."""
     import pyspark.sql.functions as F
 
     from ssimulacra2_spark.config import CheckSuiteConfig
@@ -108,17 +111,20 @@ def test_adaptive_drift_reuses_pair_join(spark):
         F.lit(None).cast("string").alias("tool"),
         F.current_timestamp().alias("ts"),
     )
-    cfg = CheckSuiteConfig(
-        n_buckets=4, num_scales=4, channels=("len", "tok"),
-        drift_subbuckets=2, drift_hot_turns=100,
+    base = CheckSuiteConfig(
+        n_buckets=4, num_scales=4, channels=("len", "tok"), drift_subbuckets=2
     )
-    ref, cand = prepare(df, cfg), prepare(df, cfg)
-    out = drift_score_check_arrow(
-        ref, cand, partition_counts(ref).select("partition_id"), cfg
-    )
-    assert _plan(out.verdicts).count("FlatMapGroupsInPandas") == 2
-    out.verdicts.collect()  # AQE inserts reuse at runtime
-    assert "Reused" in _plan(out.verdicts)
+    from dataclasses import replace
+
+    for hot, expect_chunked in ((100, True), (10**9, False)):
+        cfg = replace(base, drift_hot_turns=hot)
+        ref, cand = prepare(df, cfg), prepare(df, cfg)
+        out = drift_score_check_arrow(
+            ref, cand, partition_counts(ref).select("partition_id"), cfg
+        )
+        p = _plan(out.verdicts)
+        assert p.count("FlatMapGroupsInPandas") == 1, hot
+        assert ("explode(" in p) == expect_chunked, hot  # the halo duplication
 
 
 def test_drift_exchange_ships_float32(spark):

@@ -139,14 +139,15 @@ def test_drift_chunked_matches_unchunked(spark):
     parts = partition_counts(ref).select("partition_id")
     scores = []
     # three paths over identical input:
-    #   plain whole-group kernel (hot threshold unreachable),
+    #   plain whole-group kernel,
     #   forced all-rows chunking (~4-10 chunk boundaries per conversation),
-    #   adaptive hot/cold routing (threshold 1000 turns splits the 700-2500
-    #   fixture: some conversations route chunked, some plain, in ONE run)
+    #   probe-selected chunking (threshold 1000 < the fixture's longest
+    #   conversation, so the driver-side probe flips the whole plan to the
+    #   chunked kernel at the default auto chunk size)
     arms = [
         dict(drift_chunk_turns=0),
         dict(drift_chunk_turns=256, drift_hot_turns=0),
-        dict(drift_chunk_turns=256, drift_hot_turns=1000),
+        dict(drift_chunk_turns=0, drift_hot_turns=1000),
     ]
     for knobs in arms:
         from ssimulacra2_spark.operators.drift_arrow import drift_score_check_arrow
