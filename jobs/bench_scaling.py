@@ -72,6 +72,13 @@ def run_level(
         f"spark.sql.shuffle.partitions={max(2 * cores, 16)}",
         "--conf",
         "spark.sql.adaptive.enabled=true",
+        # engine session defaults (session.py): compact CPU-heavy
+        # post-shuffle stages must coalesce to ~cores tasks, not to the
+        # 64MB byte advisory (ARCHITECTURE §7a)
+        "--conf",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
+        "--conf",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst=true",
         "--conf",
         "spark.sql.session.timeZone=UTC",
         "--conf",
@@ -217,6 +224,17 @@ All raw runs:
 Sandbox protocol per SURVEY §6: no multi-node cluster available, so the
 two-cluster-size criterion is evidenced at two parallelism levels of the
 same single-JVM runtime (local[{args.n_cores}] vs local[{args.xn_cores}]).
+
+Cross-session variance (full honesty): this VM's effective core budget
+fluctuates by session and degrades through the day — identical
+best-of-N sets measured 704k/0.497 (round-2 session), 635k/0.506 and
+567k/0.479 (round-3 sessions), against pure-CPU ceiling samples
+0.74-0.87. The stable cross-session signals: 2->8 efficiency 0.998
+(host linear band); 8->32 engine efficiency ~0.48-0.51 vs a pure-CPU
+ceiling of 0.74-0.87 (engine/ceiling 0.58-0.68); the residual is
+per-task CPU inflation at 32 threads on memory-heavy stages (measured
+1.9x vs 8 threads on identical plans), i.e. the host memory subsystem,
+not plan shape — plans are identical at every level.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
