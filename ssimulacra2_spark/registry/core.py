@@ -827,3 +827,73 @@ ORACLES["build_const_fold"] = f"""
 SELECT {C2!r} AS c2, {RADIUS} AS radius,
        ROUND({float(sum(KERNEL_TAPS))!r}, 6) AS kernel_norm, {len(KERNEL_TAPS)} AS n_taps
 """
+
+
+@q("order_unique_fused")
+def order_unique_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 FUSED ordering+uniqueness operator
+    (checks.order_unique_violations): one scan + one (conv, turn-chunk)
+    exchange+sort serves both the monotone-ordering lag and the
+    duplicate-key count (≙ strictly-increasing frame index +
+    unique-frame claim, video.rs:159-161). Driver data: events mapped to
+    transcript shape with deterministic injected faults — ts regressions
+    (event_id % 89) and duplicated keys (event_id % 101). Tiny
+    monotone_chunk_turns exercises the cross-chunk boundary summary at
+    driver scale; the DuckDB oracle uses the equivalent whole-conversation
+    window (chunked == whole-window is property-pinned)."""
+    from pyspark.sql.window import Window
+
+    from ..config import CheckSuiteConfig
+    from ..operators.checks import order_unique_violations, prepare
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("props")).alias("text"),
+        F.col("event_type").alias("tool"),
+        F.when(
+            F.col("event_id") % 89 == 0, F.col("ts") - F.expr("INTERVAL 10 DAYS")
+        ).otherwise(F.col("ts")).alias("ts"),
+        "event_id",
+    )
+    cand = base.unionByName(base.filter(F.col("event_id") % 101 == 0)).drop("event_id")
+    cfg = CheckSuiteConfig(n_buckets=8, monotone_chunk_turns=8)
+    v = order_unique_violations(prepare(cand, cfg), cfg, do_unique=True, do_mono=True)
+    return v.select(
+        "check_id",
+        "conv_id",
+        "turn_idx",
+        "class",
+        F.when(F.col("check_id") == "uniqueness", F.col("observed")).alias("observed"),
+    )
+
+
+ORACLES["order_unique_fused"] = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 89 = 0 THEN ts - INTERVAL 10 DAY ELSE ts END AS ts2,
+         event_id
+  FROM events
+), cand AS (
+  SELECT conv_id, turn_idx, ts2 FROM base
+  UNION ALL
+  SELECT conv_id, turn_idx, ts2 FROM base WHERE event_id % 101 = 0
+), mono AS (
+  SELECT conv_id, turn_idx, ts2,
+         LAG(ts2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM cand
+), uniq AS (
+  SELECT conv_id, turn_idx, COUNT(*) AS n
+  FROM cand GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+)
+SELECT 'monotone_ts' AS check_id, conv_id, turn_idx, 'invalid' AS class,
+       CAST(NULL AS VARCHAR) AS observed
+FROM mono WHERE ts2 < prev_ts
+UNION ALL
+SELECT 'uniqueness', conv_id, turn_idx, 'invalid', 'count=' || n
+FROM uniq
+"""
