@@ -39,6 +39,9 @@ def main() -> None:
     # columns once instead of re-decoding text per check branch)
     p.add_argument("--cache-mode", default="none")
     p.add_argument("--drift-impl", default="arrow", choices=["arrow", "window"])
+    # adaptive kernel plan probe (config.drift_hot_turns): chunk the whole
+    # kernel iff some conversation exceeds this; 0 = plain kernel always
+    p.add_argument("--drift-hot-turns", type=int, default=0)
     p.add_argument("--data-dir", default=None, help="reuse pre-generated pair")
     args = p.parse_args()
 
@@ -67,6 +70,7 @@ def main() -> None:
         n_buckets=args.buckets,
         num_scales=args.scales,
         drift_subbuckets=args.drift_subbuckets,
+        drift_hot_turns=args.drift_hot_turns,
         cache_mode=args.cache_mode,
         drift_impl=args.drift_impl,
         checks=(
