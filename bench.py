@@ -104,16 +104,15 @@ def main() -> None:
 
     def suite_pass() -> None:
         verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
-        # materialize both outputs CONCURRENTLY: the violations union is
-        # persisted inside the suite, so the two actions share work; running
-        # them from two threads lets the scheduler pack one action's small
-        # verdict-assembly stages into the other's idle cores, and overlaps
-        # the second action's driver-side planning with the first's execution
-        # (profiled: ~2s of driver planning dead time per action at 32 cores)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            list(ex.map(materialize, [verdicts, violations]))
+        # SEQUENTIAL sinks, violations first (builds the persisted union
+        # once; verdicts then read the cache). Concurrent sinks were built
+        # and MEASURED: ~2s planning overlap won at 32 cores, but racing
+        # two actions into the unbuilt cache starves small schedulers —
+        # tasks block on per-partition cache locks while holding task
+        # slots (101.7s -> ~183s at local[8]). Sequential is the shape
+        # that survives both cluster sizes.
+        materialize(violations)
+        materialize(verdicts)
 
     # one untimed steady-state warmup (JIT, python workers, pre-faulted
     # working set — see tools/vm_pagefault_ceiling.py for why faults on

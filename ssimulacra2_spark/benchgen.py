@@ -75,26 +75,26 @@ def stage_pair(
     n_turns: int,
     n_convs: int,
     base_dir: str,
-    files: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Write the (ref, cand) pair to `base_dir` as ROW-BALANCED parquet and
-    return readers for both.
+    """Write the (ref, cand) pair to `base_dir` as CONVERSATION-CLUSTERED
+    parquet and return readers for both.
 
-    make_transcripts ends in a row_number window partitioned by conversation,
-    so its natural output files inherit the conversation-hash layout: the hot
-    conversation's entire slice lands in one file (measured 519k rows vs the
-    240k average — a 2.2x scan-task straggler on every downstream branch).
-    A round-robin repartition before the write emulates what any production
-    table writer does (Iceberg write.target-file-size): file sizes are the
-    WRITER's job, while in-data skew — the hot conversation itself — stays
-    fully present for the engine to handle."""
-    files = files or 4 * spark.sparkContext.defaultParallelism
+    make_transcripts ends in a row_number window partitioned by
+    conversation, so its natural output files hold whole conversations in
+    sorted runs. A round-robin rebalance before the write was built and
+    MEASURED here to fix the resulting 2.2x scan-straggler file (the hot
+    conversation's 519k rows land in one file): it cost ~20% of total
+    suite wall at local[8] (interleaved A/B, 29s -> 36s) — scattering
+    conversations destroys the dictionary/RLE runs parquet and shuffle
+    compression feed on and the pre-sorted runs every downstream
+    (conv, ...) sort exploits. Clustered-but-skewed beats
+    balanced-but-scattered; at warehouse scale the answer is an Iceberg
+    writer clustered by bucket(conv_id) with a target file size, which
+    this layout emulates."""
     ref_path, cand_path = f"{base_dir}/ref", f"{base_dir}/cand"
-    make_transcripts(spark, n_turns, n_convs).repartition(files).write.mode(
-        "overwrite"
-    ).parquet(ref_path)
+    make_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(ref_path)
     ref = spark.read.parquet(ref_path)
-    distort(ref).repartition(files).write.mode("overwrite").parquet(cand_path)
+    distort(ref).write.mode("overwrite").parquet(cand_path)
     return ref, spark.read.parquet(cand_path)
 
 

@@ -214,13 +214,15 @@ class ValidationSuite:
             )
             verdicts = verdicts.unionByName(viol_verdicts)
 
-        # the verdict union inherits every branch's partitioning (~350
-        # near-empty result partitions for a KB-scale table): coalesce —
-        # narrow, no exchange; upstream stages keep full parallelism and
-        # only the tiny result stage serializes — so the sink job schedules
-        # 8 tasks instead of ~350 and checkpoint batches write 8 files, not
-        # ~350 10-row files (what an Iceberg writer's target-file-size does)
-        verdicts = verdicts.coalesce(8)
+        # NOTE: no coalesce on the returned verdicts. A verdicts.coalesce(8)
+        # was built and MEASURED here: it collapses every branch's
+        # post-shuffle stage into 8 result tasks, and at local[8] produced
+        # catastrophic-tail runs (97s vs 38s on identical input) — the
+        # narrow coalesce serializes whatever compute sits above the last
+        # exchanges onto too few slots. The small-file concern it addressed
+        # lives where it belongs: TableIO.write_results repartitions the
+        # KB-scale results before the parquet write (an exchange of tiny
+        # data, isolated to the checkpoint path).
 
         if io is not None:
             io.write_results(run_id, verdicts, violations)

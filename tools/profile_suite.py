@@ -70,17 +70,12 @@ def main() -> None:
 
     def suite_pass() -> None:
         verdicts, violations = ValidationSuite(cfg).run(spark, ref, cand)
-        # concurrent sinks, matching bench.py (job description is
-        # thread-local, so attribution survives the concurrency)
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _sink(arg):
-            name, df = arg
+        # sequential sinks, violations first — matching bench.py (concurrent
+        # sinks starve small schedulers on cache locks; see bench.py)
+        for name, df in (("violations", violations), ("verdicts", verdicts)):
             spark.sparkContext.setJobDescription(f"materialize:{name}")
             df.write.format("noop").mode("overwrite").save()
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            list(ex.map(_sink, [("verdicts", verdicts), ("violations", violations)]))
+        spark.sparkContext.setJobDescription(None)
 
     suite_pass()
     spark.catalog.clearCache()
