@@ -257,6 +257,10 @@ def order_unique_violations(
     tests); the cross-chunk boundary pairs still come from the tiny
     per-chunk summary (same as monotone_ts_violations phase 2).
     """
+    if not (do_unique or do_mono):
+        raise ValueError(
+            "order_unique_violations: at least one of do_unique/do_mono must be True"
+        )
     ts = F.col(cfg.order_col)
     chunk_rows = cfg.monotone_chunk_turns
     d = cand.select(

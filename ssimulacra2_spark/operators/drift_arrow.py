@@ -317,13 +317,17 @@ def _with_chunks(paired: DataFrame, cfg: CheckSuiteConfig) -> DataFrame:
 _DEFAULT_AUTO_CHUNK = 65_536
 
 
-def _probe_chunking(ref_side: DataFrame, cfg: CheckSuiteConfig) -> bool:
+def _probe_chunking(ref_side: DataFrame, cand_side: DataFrame, cfg: CheckSuiteConfig) -> bool:
     """Driver-side skew probe: should THIS corpus run the chunked kernel?
 
-    Returns True iff some conversation exceeds cfg.drift_hot_turns (one
-    map-combinable max-of-counts over a conv_id-pruned scan; the collected
-    result is a single scalar — control flow, not data movement, same
-    category as dedup_clusters' convergence sum).
+    Returns True iff some conversation on EITHER side exceeds
+    cfg.drift_hot_turns (map-combinable max-of-counts over conv-pruned
+    scans; the collected result is a single scalar — control flow, not
+    data movement, same category as dedup_clusters' convergence sum).
+    Grouping is on the full (conv_key, conv_key2) 128-bit join key — a
+    64-bit-only probe could merge two colliding conversations and flip the
+    plan choice (results stay exact either way; this only picks the plan),
+    and a cand-only giant conversation previously escaped the probe.
 
     Why plan-level choice instead of row-level hot/cold routing: a split
     design (tag hot conversations, send them through the chunked kernel and
@@ -337,9 +341,12 @@ def _probe_chunking(ref_side: DataFrame, cfg: CheckSuiteConfig) -> bool:
     conversation dwarfs a kernel batch, chunk EVERYTHING (measured 1.8-2.3x
     faster when one conversation IS the workload); otherwise stay plain.
     One scalar probe, zero plan complexity, no always-on tax."""
+    per_conv = lambda side: side.groupBy("conv_key", "conv_key2").agg(  # noqa: E731
+        F.count("*").alias("n_t")
+    )
     mx = (
-        ref_side.groupBy("conv_key")
-        .agg(F.count("*").alias("n_t"))
+        per_conv(ref_side)
+        .unionByName(per_conv(cand_side))
         .agg(F.max("n_t").alias("mx"))
         .collect()[0]["mx"]
     )
@@ -385,7 +392,7 @@ def drift_score_check_arrow(
         # adaptive plan choice: probe the corpus for a conversation long
         # enough that chunking's all-rows tax beats the plain kernel's
         # straggler (see _probe_chunking for the measured trade)
-        if _probe_chunking(r, cfg):
+        if _probe_chunking(r, c, cfg):
             chunk = _DEFAULT_AUTO_CHUNK
     if chunk:
         from dataclasses import replace

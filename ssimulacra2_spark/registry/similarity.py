@@ -139,7 +139,8 @@ def _bucket_expr(dialect: str, col: str) -> str:
 
 def _lsh_topk_ctes(dialect: str) -> str:
     """Shared CTE chain: bucket candidates, multi-probe query buckets
-    (exact + Hamming-1), join within buckets, cosine-score, rank."""
+    (exact + Hamming <= 2, 22 probes), join within buckets, cosine-score,
+    rank."""
     dot = _DOT_SPARK if dialect == "spark" else _DOT_DUCK
     norm = _NORM_SPARK if dialect == "spark" else _NORM_DUCK
     # multi-probe at Hamming distance <= 2: 1 + 6 + 15 = 22 of the 64

@@ -77,6 +77,53 @@ class ParquetTableIO:
             batches = batches[: batches.index(as_of) + 1]
         return batches
 
+    # -- manifest column stats (Iceberg manifest file-skipping analog) -------
+    @staticmethod
+    def _fileset_stats(path: str) -> dict | None:
+        """Per-fileset min/max of (partition_id, check_id), read from the
+        parquet FOOTERS of the files just written (no data scan) — the
+        Iceberg manifest-entry column-stats analog. Recorded at commit time
+        so selective reads can skip whole filesets without opening them."""
+        try:
+            import pyarrow.parquet as pq
+
+            stats: dict[str, list] = {}
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    for col in ("partition_id", "check_id"):
+                        if col not in names:
+                            continue
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(names[col]).statistics
+                            if st is None or not st.has_min_max:
+                                return None  # incomplete stats -> never prune
+                            lo, hi = st.min, st.max
+                            cur = stats.get(col)
+                            stats[col] = (
+                                [lo, hi]
+                                if cur is None
+                                else [min(cur[0], lo), max(cur[1], hi)]
+                            )
+            return stats or None
+        except Exception:
+            return None  # stats are an optimization; absence just disables skipping
+
+    @staticmethod
+    def _stats_admit(entry_stats: dict | None, want: dict | None) -> bool:
+        """True if a fileset with `entry_stats` may contain rows matching
+        `want` ({col: (lo, hi)} closed ranges). Missing stats admit."""
+        if not want or not entry_stats:
+            return True
+        for col, (lo, hi) in want.items():
+            rng = entry_stats.get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                return False
+        return True
+
     # -- results ------------------------------------------------------------
     def completed_partitions(self, spark: SparkSession, run_id: str) -> DataFrame | None:
         """Distinct partition ids already verdicted for this run, as a
@@ -107,8 +154,13 @@ class ParquetTableIO:
     ) -> str:
         """MERGE-equivalent: append a new parquet fileset, then commit ONE
         manifest marker for the batch (write-then-commit gives crash
-        atomicity: an append without a marker is invisible to readers)."""
+        atomicity: an append without a marker is invisible to readers).
+        Each batch is stamped with a monotonic commit_seq (its index in the
+        run's commit log) so newest-wins resolution is DETERMINISTIC even
+        when two commits land in the same current_timestamp tick — the
+        Iceberg sequence-number analog."""
         batch = uuid.uuid4().hex[:12]
+        commit_seq = len(self.committed_batches(run_id))
         vdir = os.path.join(self.base_dir, "verdicts", f"run={run_id}", f"batch={batch}")
         # verdict tables are KB-scale but inherit ~350 branch partitions:
         # repartition (an exchange of tiny data) before the write so a
@@ -116,7 +168,7 @@ class ParquetTableIO:
         # write.target-file-size behavior, confined to the sink
         verdicts.repartition(8).withColumn("run_id", F.lit(run_id)).withColumn(
             "written_at", F.current_timestamp()
-        ).write.mode("overwrite").parquet(vdir)
+        ).withColumn("commit_seq", F.lit(commit_seq)).write.mode("overwrite").parquet(vdir)
         if violations is not None:
             xdir = os.path.join(self.base_dir, "violations", f"run={run_id}", f"batch={batch}")
             violations.withColumn("run_id", F.lit(run_id)).withColumn(
@@ -124,7 +176,12 @@ class ParquetTableIO:
             ).write.mode("overwrite").parquet(xdir)
         m = self._load_manifest()
         m.setdefault("commits", []).append(
-            {"run_id": run_id, "batch": batch, "ts": time.time()}
+            {
+                "run_id": run_id,
+                "batch": batch,
+                "ts": time.time(),
+                "stats": self._fileset_stats(vdir),
+            }
         )
         self._save_manifest(m)
         if self.compact_every:
@@ -165,12 +222,16 @@ class ParquetTableIO:
             # nothing committed since the last compaction — rewriting would
             # overwrite the very snapshot the lazy read plan scans
             return upto
-        self.read_verdicts(spark, run_id).write.mode("overwrite").parquet(
-            self._compact_dir(run_id, upto)
-        )
+        cdir = self._compact_dir(run_id, upto)
+        self.read_verdicts(spark, run_id).write.mode("overwrite").parquet(cdir)
         m = self._load_manifest()
         m.setdefault("compactions", []).append(
-            {"run_id": run_id, "upto": upto, "ts": time.time()}
+            {
+                "run_id": run_id,
+                "upto": upto,
+                "ts": time.time(),
+                "stats": self._fileset_stats(cdir),
+            }
         )
         self._save_manifest(m)
         return upto
@@ -180,29 +241,49 @@ class ParquetTableIO:
 
         from ..operators.checks import VERDICT_SCHEMA, VIOLATION_SCHEMA
 
+        from pyspark.sql.types import LongType
+
         base = VERDICT_SCHEMA if kind == "verdicts" else VIOLATION_SCHEMA
         fields = list(base.fields) + [
             StructField("run_id", StringType()),
             StructField("written_at", TimestampType()),
         ]
+        if kind == "verdicts":
+            fields.append(StructField("commit_seq", LongType()))
         return spark.createDataFrame([], schema=type(base)(fields))
 
-    def _verdict_paths(self, run_id: str, as_of: str | None) -> list[str]:
+    def _verdict_paths(
+        self, run_id: str, as_of: str | None, want: dict | None = None
+    ) -> list[str]:
         """Filesets a current verdict read touches: latest compacted
         snapshot (if any) + the batch tail after it — bounded by
         compact_every, not by run length. `as_of` reads use the raw
         commit-log prefix (time travel is exact regardless of later
-        compactions)."""
+        compactions).
+
+        `want` ({col: (lo, hi)}) prunes filesets whose committed manifest
+        min/max stats cannot intersect the predicate — Iceberg manifest
+        file skipping. Pruning is SAFE for newest-wins resolution: every
+        fileset that may contain a wanted (partition_id, check_id) row is
+        retained, so resolution over the wanted keys is unchanged."""
+        m = self._load_manifest()
+        batch_stats = {
+            c["batch"]: c.get("stats")
+            for c in m.get("commits", [])
+            if c["run_id"] == run_id
+        }
         batches = self.committed_batches(run_id, as_of)
         paths: list[str] = []
         if as_of is None:
             comp = self._latest_compaction(run_id, batches)
             if comp is not None:
-                paths.append(self._compact_dir(run_id, comp["upto"]))
+                if self._stats_admit(comp.get("stats"), want):
+                    paths.append(self._compact_dir(run_id, comp["upto"]))
                 batches = batches[batches.index(comp["upto"]) + 1 :]
         paths += [
             os.path.join(self.base_dir, "verdicts", f"run={run_id}", f"batch={b}")
             for b in batches
+            if self._stats_admit(batch_stats.get(b), want)
         ]
         return [p for p in paths if os.path.exists(p)]
 
@@ -222,20 +303,39 @@ class ParquetTableIO:
         return spark.read.parquet(*paths)
 
     def read_verdicts(
-        self, spark: SparkSession, run_id: str, as_of: str | None = None
+        self,
+        spark: SparkSession,
+        run_id: str,
+        as_of: str | None = None,
+        partition_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Committed batches only (uncommitted appends are invisible);
         MERGE semantics on read: newest write per (partition_id, check_id).
         `as_of` pins to a past snapshot (batch id) — time travel. Current
         reads go through the latest compacted snapshot + batch tail, so
-        cost does not grow with run length."""
-        paths = self._verdict_paths(run_id, as_of)
+        cost does not grow with run length. `partition_range=(lo, hi)`
+        makes the read selective: manifest stats skip non-intersecting
+        filesets entirely (their footers are never opened) and the
+        residual row filter is pushed to the parquet scan."""
+        want = {"partition_id": partition_range} if partition_range else None
+        paths = self._verdict_paths(run_id, as_of, want)
         if not paths:
             return self._empty_results(spark, "verdicts")
         df = spark.read.parquet(*paths)
+        if partition_range is not None:
+            lo, hi = partition_range
+            df = df.filter((F.col("partition_id") >= lo) & (F.col("partition_id") <= hi))
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("partition_id", "check_id").orderBy(F.col("written_at").desc())
+        # commit_seq (monotonic commit-log index) is the primary order:
+        # written_at alone is a timestamp that two commits can share, which
+        # would make resolution nondeterministic — and once a compaction
+        # folds an ambiguous pick into a snapshot it becomes permanent for
+        # current reads while as_of re-resolves. written_at stays as a
+        # secondary key for any pre-commit_seq fileset.
+        w = Window.partitionBy("partition_id", "check_id").orderBy(
+            F.col("commit_seq").desc_nulls_last(), F.col("written_at").desc()
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )

@@ -169,6 +169,53 @@ def test_compaction_bounds_read_filesets(spark, tmp_path):
     assert again == got
 
 
+def test_manifest_stats_skip_filesets(spark, tmp_path):
+    """Iceberg manifest file-skipping analog: commit-time min/max stats on
+    (partition_id, check_id) let a selective read prune whole filesets —
+    after 10 commits over disjoint partition ranges, reading one partition
+    opens at most 2 filesets (here: exactly the 1 containing it), and
+    pruning never changes newest-wins resolution for the wanted keys."""
+    from ssimulacra2_spark.operators.checks import VERDICT_SCHEMA
+
+    io = ParquetTableIO(str(tmp_path / "skip"), compact_every=0)
+    for i in range(10):
+        # commit i covers partitions [10*i, 10*i+9]; partition 5 is also
+        # rewritten by commit 1 (newest-wins must survive pruning; commit
+        # 1's stats widen to [5, 19] — still disjoint from the probe below)
+        rows = [(10 * i + j, "chk", True, i, None) for j in range(10)]
+        if i == 1:
+            rows.append((5, "chk", False, 99, None))
+        io.write_results("r", spark.createDataFrame(rows, schema=VERDICT_SCHEMA), None)
+
+    assert len(io.committed_batches("r")) == 10
+    # stats were recorded at commit time for every batch
+    m = io._load_manifest()
+    assert all(c.get("stats", {}).get("partition_id") for c in m["commits"])
+
+    # selective read: only the fileset whose range covers the key is opened
+    assert len(io._verdict_paths("r", None, {"partition_id": (35, 35)})) == 1
+    assert len(io._verdict_paths("r", None)) == 10  # non-selective unchanged
+    got = {
+        r.partition_id: r.n_violations
+        for r in io.read_verdicts(spark, "r", partition_range=(35, 35)).collect()
+    }
+    assert got == {35: 3}
+
+    # pruning keeps EVERY fileset that may hold the wanted key: partition 5
+    # lives in commits 0 and 1, so both are read and commit 1 wins
+    assert len(io._verdict_paths("r", None, {"partition_id": (5, 5)})) == 2
+    got5 = {
+        r.partition_id: (r.passed, r.n_violations)
+        for r in io.read_verdicts(spark, "r", partition_range=(5, 5)).collect()
+    }
+    assert got5 == {5: (False, 99)}
+
+    # compaction records stats too and a selective read after it opens
+    # snapshot only (tail is empty)
+    io.compact(spark, "r")
+    assert len(io._verdict_paths("r", None, {"partition_id": (35, 35)})) == 1
+
+
 def test_snapshot_time_travel(spark, synth_tables, tmp_path):
     """as_of pins reads to a past commit: the snapshot view equals what a
     reader saw at that commit, regardless of later appends."""
