@@ -42,6 +42,9 @@ HEADLINE_QUERIES = [
     "token_count",
     "multimodal_decode_stub",
     "multimodal_png_meta",
+    "multimodal_jpeg_meta",
+    "contamination_ngram",
+    "emb_drift_check",
     "sessionize_gap",
     "asof_join_policy",
     "limit_scales",
@@ -99,7 +102,7 @@ def main() -> None:
     cfg = CheckSuiteConfig(n_buckets=32, num_scales=4, checks=(
         "schema", "min_rows", "row_parity", "uniqueness", "monotone_ts",
         "vocab_role", "vocab_tool", "text_parity", "column_stats", "psi_ks",
-        "drift_score",
+        "emb_drift", "drift_score",
     ))
 
     def suite_pass() -> None:

@@ -84,6 +84,7 @@ def main() -> None:
             "text_parity",
             "column_stats",
             "psi_ks",
+            "emb_drift",
             "drift_score",
         ),
     )

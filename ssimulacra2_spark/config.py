@@ -71,6 +71,9 @@ class CheckSuiteConfig:
     psi_threshold: float = 0.25
     ks_threshold: float = 0.2
     drift_bins: int = 20
+    # embedding-centroid drift (drift.emb_drift_check): minimum cosine
+    # between the per-partition channel-vector centroids of the two sides
+    emb_drift_min_cos: float = 0.995
 
     # skew handling: two-phase salted aggregation fanout for hot conv_ids
     salt_buckets: int = 8
@@ -155,6 +158,7 @@ class CheckSuiteConfig:
         "vocab_tool",
         "text_parity",
         "column_stats",
+        "emb_drift",
         "drift_score",
     )
 

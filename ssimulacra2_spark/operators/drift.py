@@ -319,3 +319,58 @@ def psi_ks_check(
         )
     )
     return CheckOutput(verdicts=verdicts)
+
+
+def emb_drift_check(
+    ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
+) -> CheckOutput:
+    """Per-partition embedding-centroid drift between the snapshot pair.
+
+    Each turn's channel vector (the prepared ch_<name> features — the
+    engine's per-turn embedding) is averaged into one centroid per
+    (partition, side); the check passes iff the cosine between the two
+    centroids stays >= cfg.emb_drift_min_cos. Complements psi_ks (which
+    watches ONE marginal distribution): a coordinated shift across
+    channels moves the centroid even when each marginal looks calm.
+
+    Scale shape: AVG is map-side combinable, so the corpus contributes
+    only partial sums per partition — ONE tiny shuffle of
+    n_buckets x n_channels partials per side, then an n_buckets-row join.
+    Nothing here grows with corpus size; this is the same centroid/cosine
+    machinery as registry/ivf.py's coarse quantizer, applied at suite
+    scale. Ref analog: the weighted cross-plane reduce, lib.rs:344-487.
+    """
+    chans = list(cfg.channels)
+
+    def centroid(side: DataFrame, tag: str) -> DataFrame:
+        return side.groupBy("partition_id").agg(
+            *[
+                F.avg(F.col(f"ch_{c}").cast("double")).alias(f"{tag}{i}")
+                for i, c in enumerate(chans)
+            ]
+        )
+
+    j = (
+        parts.select("partition_id")
+        .join(centroid(ref, "a"), "partition_id", "left")
+        .join(centroid(cand, "b"), "partition_id", "left")
+    )
+    dot = sum(
+        (F.col(f"a{i}") * F.col(f"b{i}") for i in range(1, len(chans))),
+        F.col("a0") * F.col("b0"),
+    )
+    na = F.sqrt(
+        sum((F.col(f"a{i}") * F.col(f"a{i}") for i in range(1, len(chans))), F.col("a0") * F.col("a0"))
+    )
+    nb = F.sqrt(
+        sum((F.col(f"b{i}") * F.col(f"b{i}") for i in range(1, len(chans))), F.col("b0") * F.col("b0"))
+    )
+    cos = dot / (na * nb)  # null when a side is missing or has zero norm
+    verdicts = j.select(
+        F.col("partition_id").cast("int"),
+        F.lit("emb_drift").alias("check_id"),
+        F.coalesce(cos >= F.lit(cfg.emb_drift_min_cos), F.lit(False)).alias("passed"),
+        F.lit(0).cast("long").alias("n_violations"),
+        cos.cast("double").alias("score"),
+    )
+    return CheckOutput(verdicts=verdicts)

@@ -211,3 +211,26 @@ def iir_smooth_frame(
             )
         )
     return pd.concat(outs, ignore_index=True)
+
+
+def emb_drift_cosines(
+    ref: pd.DataFrame,
+    cand: pd.DataFrame,
+    cfg: CheckSuiteConfig,
+    partition_of: dict[str, int],
+) -> dict[int, float]:
+    """Per-partition centroid cosine between the snapshot pair (numpy
+    mirror of operators/drift.emb_drift_check)."""
+
+    def centroids(df: pd.DataFrame) -> dict[int, np.ndarray]:
+        feats = np.stack(
+            [_featurize_channel(df[cfg.text_col], ch) for ch in cfg.channels], axis=1
+        )
+        pid = df["conv_id"].map(partition_of).to_numpy()
+        return {int(p): feats[pid == p].mean(axis=0) for p in np.unique(pid)}
+
+    a, b = centroids(ref), centroids(cand)
+    out = {}
+    for p in set(a) & set(b):
+        out[p] = float(a[p] @ b[p] / (np.linalg.norm(a[p]) * np.linalg.norm(b[p])))
+    return out

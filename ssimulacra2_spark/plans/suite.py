@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..config import CheckSuiteConfig
 from ..operators import checks as C
-from ..operators.drift import drift_score_check, psi_ks_check
+from ..operators.drift import drift_score_check, emb_drift_check, psi_ks_check
 from ..operators.stats import column_stats
 from ..sources.tableio import ParquetTableIO
 
@@ -181,6 +181,8 @@ class ValidationSuite:
             outputs.append(column_stats(cand, parts, cfg))
         if "psi_ks" in enabled:
             outputs.append(psi_ks_check(ref, cand, parts, cfg))
+        if "emb_drift" in enabled:
+            outputs.append(emb_drift_check(ref, cand, parts, cfg))
         if "drift_score" in enabled:
             if cfg.drift_impl == "arrow":
                 from ..operators.drift_arrow import drift_score_check_arrow
@@ -302,6 +304,7 @@ def star_schema_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_parity",
             "column_stats",
             "psi_ks",
+            "emb_drift",
             "drift_score",
         ),
     )

@@ -1,0 +1,486 @@
+"""Round-4 operators: benchmark-contamination check, JPEG header parse,
+and driver-checkable bound-verified variants of the sketch/recurrence ops.
+
+The bound-verified entries exist so that EVERY registered capability has a
+full-oracle driver row: sketches emit "estimate within documented error
+bound" booleans (the oracle pins the expected verdict), and the IIR
+recurrences run on a closed-form impulse input whose smoothed values the
+DuckDB oracle recomputes independently via recursive CTEs — a third
+implementation of the same recurrence, not a copy of the kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load, r6
+
+QUERIES = {}
+ORACLES = {}
+
+
+# --------------------------------------------------------------------------
+# Contamination / test-set-overlap (LLM-pipeline op; ≙ membership checks
+# against a closed set, reference vocab reject-parsers video.rs:565-655)
+# --------------------------------------------------------------------------
+
+# dialect-neutral token hash (same formula as textops._shingle_fp_sql so
+# both engines agree without relying on engine-specific hash functions)
+_TOK_HASH = "(ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+_BENCH_MOD, _BENCH_REM = 19, 3  # documents with doc_id % 19 == 3 form the benchmark set
+
+
+@(lambda fn: (QUERIES.__setitem__("contamination_ngram", fn), fn)[1])
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detector: flag candidate documents whose
+    token 3-shingle hashes overlap a closed benchmark set.
+
+    Scale shape (the 100 TB path): shingling is a PURE PROJECTION
+    (split -> transform over sequence -> explode; no self-join on token
+    position), the benchmark side is tiny by definition and is
+    BROADCAST, so the corpus never shuffles on content — one scan, one
+    broadcast semi-structure, one uniform groupBy(doc_id). Never
+    all-pairs. Same candidate-generation shape as dedup_ngram_jaccard's
+    LSH stage (dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    th = _TOK_HASH.format(t="toks[i + {k}]")
+    shingle = (
+        f"(CAST({th.format(k=0)} AS BIGINT) * 961"
+        f" + CAST({th.format(k=1)} AS BIGINT) * 31"
+        f" + CAST({th.format(k=2)} AS BIGINT)) % 2147483647"
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' +'), t -> t <> '')").alias("toks"),
+        )
+        # guard BEFORE sequence(): Spark's sequence(0, n) with n < 0 yields a
+        # DESCENDING sequence, which would fabricate null shingles here
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(toks) - 3), i -> {shingle})")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bench = sh.filter(is_bench).select("h").distinct()
+    cand = sh.filter(~is_bench)
+    agg = (
+        cand.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_overlap"))
+        .filter(F.col("n_overlap") > 0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        (F.col("n_overlap") * 2 >= F.col("n_shingles")).alias("contaminated"),
+    )
+
+
+_DUCK_TH = _TOK_HASH.format(t="tok")
+ORACLES["contamination_ngram"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text, ' +'), t -> t <> ''), 1) - 1 AS pos
+  FROM documents
+),
+th AS (SELECT doc_id, pos, CAST({_DUCK_TH} AS BIGINT) AS h FROM tok),
+sh AS (
+  SELECT DISTINCT a.doc_id, (a.h * 961 + b.h * 31 + c.h) % 2147483647 AS h
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.h) AS n_overlap
+  FROM sh s LEFT JOIN bench b ON b.h = s.h
+  WHERE s.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       (n_overlap * 2 >= n_shingles) AS contaminated
+FROM agg WHERE n_overlap > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# JPEG SOF0 header parse — second codec-free real-parse tier
+# (PNG IHDR sibling, multimodal.py; ref analog video.rs:268-287)
+# --------------------------------------------------------------------------
+
+
+def _jpeg_synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit REAL JPEG header byte streams: SOI, JFIF APP0, a
+    variable-length COM segment (so SOF0 sits at a per-row offset — the
+    parser must genuinely walk the marker chain), SOF0 with big-endian
+    dims and 3 components, EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for pdf in batches:
+        payloads = []
+        for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            com_body = bytes([65 + (int(doc_id) + i) % 26 for i in range(int(doc_id) % 9)])
+            com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_body)) + com_body
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 8 + 3 * 3, 8, int(h), int(w), 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+            )
+            payloads.append(b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _jpeg_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Walk the JPEG marker chain to SOF0 and decode precision, height,
+    width, component count straight from the bytes — signature checked,
+    segment lengths honored (a wrong length desyncs the walk and fails
+    loudly), big-endian fields decoded. No codec library involved."""
+    cols = ["doc_id", "width", "height", "bit_precision", "n_components"]
+
+    def parse_one(blob: bytes) -> tuple[int, int, int, int]:
+        if blob[:2] != b"\xff\xd8":
+            raise ValueError("payload is not a JPEG (bad SOI)")
+        off = 2
+        while off + 4 <= len(blob):
+            if blob[off] != 0xFF:
+                raise ValueError(f"marker desync at offset {off}")
+            marker = blob[off + 1]
+            if marker == 0xD9:  # EOI before SOF0
+                break
+            seg_len = (blob[off + 2] << 8) | blob[off + 3]
+            if marker == 0xC0:  # SOF0: precision u8, height u16, width u16, ncomp u8
+                p = off + 4
+                return (
+                    (blob[p + 3] << 8) | blob[p + 4],
+                    (blob[p + 1] << 8) | blob[p + 2],
+                    blob[p],
+                    blob[p + 5],
+                )
+            off += 2 + seg_len
+        raise ValueError("no SOF0 segment found")
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=cols)
+            continue
+        parsed = [parse_one(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([p[0] for p in parsed], dtype="int32"),
+                "height": pd.Series([p[1] for p in parsed], dtype="int32"),
+                "bit_precision": pd.Series([p[2] for p in parsed], dtype="int32"),
+                "n_components": pd.Series([p[3] for p in parsed], dtype="int32"),
+            }
+        )
+
+
+@(lambda fn: (QUERIES.__setitem__("multimodal_jpeg_meta", fn), fn)[1])
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free REAL JPEG parse: synthesize valid JPEG marker streams
+    into a binary column, then walk the marker chain back OUT of the bytes
+    to SOF0 (variable-offset: a COM segment of doc_id-dependent length
+    sits before it, so the oracle only matches if the length-honoring walk
+    is correct). Two chained mapInPandas projections, no shuffle — same
+    scale shape as multimodal_png_meta."""
+    docs = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    dims = docs.select(
+        "doc_id",
+        (nb % 1024 + 8).cast("int").alias("width"),
+        (nb % 768 + 8).cast("int").alias("height"),
+    )
+    blobs = dims.mapInPandas(_jpeg_synthesize, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        _jpeg_parse,
+        schema="doc_id long, width int, height int, bit_precision int, n_components int",
+    )
+
+
+ORACLES["multimodal_jpeg_meta"] = """
+SELECT doc_id,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 1024 + 8 AS INT) AS width,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 768 + 8 AS INT) AS height,
+  CAST(8 AS INT) AS bit_precision, CAST(3 AS INT) AS n_components
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Bound-verified sketch variants (driver-checkable deterministic verdicts)
+# --------------------------------------------------------------------------
+
+_TD_RANK_EPS = 0.02  # t-digest delta=100 keeps rank error well inside this
+
+
+@(lambda fn: (QUERIES.__setitem__("tdigest_rank_check", fn), fn)[1])
+def tdigest_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable t-digest verdict: for each (event_type, q) the
+    engine computes the t-digest estimate, then measures its EMPIRICAL
+    RANK against the raw data in the same query — |rank(est) - q| must
+    stay within the documented rank-error bound. The oracle pins the
+    expected all-true verdict; a digest drifting out of bound flips the
+    flag and fails the hash match. (Estimate VALUES stay engine-specific
+    by design — see tdigest_quantiles — but the BOUND is exact.)"""
+    from ..functions.tdigest import tdigest_quantiles as tq
+
+    ev = load(spark, sf_dir, "events")
+    est = tq(ev, "event_type", "value", quantiles=(0.5, 0.95), row_key_cols=("event_id",))
+    pairs = est.select(
+        F.col("group").alias("event_type"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("p50").alias("est")),
+                F.struct(F.lit(0.95).alias("q"), F.col("p95").alias("est")),
+            )
+        ).alias("s"),
+    ).select("event_type", "s.q", "s.est")
+    return (
+        ev.join(F.broadcast(pairs), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("est")).cast("double"))
+                / F.count("value")
+            ).alias("rank")
+        )
+        .select(
+            "event_type",
+            "q",
+            (F.abs(F.col("rank") - F.col("q")) <= F.lit(_TD_RANK_EPS)).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+ORACLES["tdigest_rank_check"] = """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.95 AS DOUBLE) AS q, TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+_HLL_REL_EPS = 0.05  # rsd=0.01 sketch vs exact; 5 sigma + integer slack
+
+
+@(lambda fn: (QUERIES.__setitem__("hll_error_check", fn), fn)[1])
+def hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable HLL verdict: approx_count_distinct(rsd=0.01) vs
+    the exact distinct count in one aggregation; the relative error must
+    stay within the documented bound. Oracle pins the expected all-true
+    verdict (estimate values themselves are sketch-specific by design —
+    see hll_tdigest_profile)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("ad"),
+            F.countDistinct("user_id").alias("ed"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("ad") - F.col("ed"))
+                <= F.col("ed") * _HLL_REL_EPS + F.lit(1)
+            ).alias("within_bound"),
+        )
+    )
+
+
+ORACLES["hll_error_check"] = """
+SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# IIR recurrences on a closed-form impulse — the oracle recomputes the
+# recurrence independently via DuckDB recursive CTEs (third implementation)
+# --------------------------------------------------------------------------
+
+_IIR_N = 64
+
+
+def _impulse_df(spark: SparkSession) -> DataFrame:
+    return spark.range(_IIR_N).select(
+        F.lit(0).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") == 0).cast("double").alias("v"),
+    )
+
+
+def _smooth_out(df: DataFrame) -> DataFrame:
+    # + 0.0 normalizes IEEE -0.0 (np.round and DuckDB round both emit it
+    # on tiny negatives) so the value hashes agree
+    return df.select("t", (F.col("smooth") + F.lit(0.0)).alias("smooth"))
+
+
+@(lambda fn: (QUERIES.__setitem__("iir_impulse_check", fn), fn)[1])
+def iir_impulse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-backward EMA on a 64-sample impulse: the engine runs the
+    real blocked-scan kernel (smoothing.py), the oracle recomputes the
+    same recurrence with DuckDB recursive CTEs — an independent third
+    implementation (pytest's pandas oracle being the second). Driver
+    hash-matches the rounded smoothed VALUES, closing the rows-only gap
+    for iir_smooth."""
+    from ..functions.smoothing import iir_smooth_grouped
+
+    return _smooth_out(
+        iir_smooth_grouped(_impulse_df(spark), key="k", order_col="t", value_col="v")
+    )
+
+
+def _ema_oracle() -> str:
+    from ..constants import SIGMA
+    from ..functions.smoothing import iir_alpha
+
+    a = iir_alpha(SIGMA)
+    q = 1.0 - a
+    n = _IIR_N
+    return f"""
+WITH RECURSIVE fwd AS (
+  SELECT 0 AS t, CAST({a!r} * 1.0 + {q!r} * 1.0 AS DOUBLE) AS y
+  UNION ALL
+  SELECT f.t + 1,
+         {a!r} * (CASE WHEN f.t + 1 = 0 THEN 1.0 ELSE 0.0 END) + {q!r} * f.y
+  FROM fwd f WHERE f.t + 1 < {n}
+),
+bwd AS (
+  SELECT {n - 1} AS t, (SELECT {a!r} * y + {q!r} * y FROM fwd WHERE t = {n - 1}) AS z
+  UNION ALL
+  SELECT b.t - 1, {a!r} * f.y + {q!r} * b.z
+  FROM bwd b JOIN fwd f ON f.t = b.t - 1
+  WHERE b.t - 1 >= 0
+)
+SELECT t, round(z, 6) + 0.0 AS smooth FROM bwd
+"""
+
+
+ORACLES["iir_impulse_check"] = _ema_oracle()
+
+
+@(lambda fn: (QUERIES.__setitem__("iir_biquad_impulse_check", fn), fn)[1])
+def iir_biquad_impulse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 3-section recursive Gaussian (gaussian.rs:37-92)
+    on a 64-sample impulse; oracle = DuckDB recursive CTE stepping the
+    identical 2nd-order recurrence (o = n2*s - d1*prev - prev2 per
+    section, truncated-cosine input taps at n±(N∓1), zero-padded edges).
+    Closes the rows-only gap for iir_smooth_biquad."""
+    from ..functions.smoothing import iir_smooth_grouped
+
+    return _smooth_out(
+        iir_smooth_grouped(
+            _impulse_df(spark), key="k", order_col="t", value_col="v", kernel="biquad"
+        )
+    )
+
+
+def _biquad_oracle() -> str:
+    from ..constants import SIGMA
+    from ..functions.recursive_gaussian import rg_coeffs
+
+    big_n, n2, d1 = rg_coeffs(SIGMA)
+    n = _IIR_N
+    return f"""
+WITH RECURSIVE st AS (
+  SELECT {-big_n} AS n, CAST(0.0 AS DOUBLE) AS p1, CAST(0.0 AS DOUBLE) AS p2,
+         CAST(0.0 AS DOUBLE) AS p3, CAST(0.0 AS DOUBLE) AS q1,
+         CAST(0.0 AS DOUBLE) AS q2, CAST(0.0 AS DOUBLE) AS q3
+  UNION ALL
+  SELECT n + 1,
+         {n2[0]!r} * s - {d1[0]!r} * p1 - q1,
+         {n2[1]!r} * s - {d1[1]!r} * p2 - q2,
+         {n2[2]!r} * s - {d1[2]!r} * p3 - q3,
+         p1, p2, p3
+  FROM (
+    SELECT *, (CASE WHEN n + 1 - {big_n + 1} = 0 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN n + 1 + {big_n - 1} = 0 THEN 1.0 ELSE 0.0 END) AS s
+    FROM st WHERE n + 1 < {n}
+  )
+)
+SELECT n AS t, round(p1 + p2 + p3, 6) + 0.0 AS smooth FROM st WHERE n >= 0
+"""
+
+
+ORACLES["iir_biquad_impulse_check"] = _biquad_oracle()
+
+
+# --------------------------------------------------------------------------
+# Embedding drift between snapshot pairs (north rule: distribution drift;
+# companion to psi_ks_drift, over the embedding modality)
+# --------------------------------------------------------------------------
+
+_EMB_DRIFT_COS = 0.98
+
+
+@(lambda fn: (QUERIES.__setitem__("emb_drift_check", fn), fn)[1])
+def emb_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding-centroid drift between two snapshots
+    (vec_id parity splits the table into a before/after pair): explode
+    dims -> per (label, snap, dim) mean — a UNIFORM fine-grained shuffle
+    key, the same scale shape as ivf.py's centroid build — then one tiny
+    self-join per label computes the cosine between the two centroids.
+    The corpus shuffles once on (label, snap, dim); the join input is
+    #labels * dim rows regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    c = e.groupBy("label", "snap", "dim").agg(F.avg("val").alias("c"))
+    a = c.filter(F.col("snap") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = c.filter(F.col("snap") == 1).select("label", "dim", F.col("c").alias("cb"))
+    cos = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("cs")
+        )
+    )
+    return cos.select(
+        "label",
+        r6("cs").alias("cos_shift"),
+        (F.col("cs") < F.lit(_EMB_DRIFT_COS)).alias("drifted"),
+    )
+
+
+ORACLES["emb_drift_check"] = f"""
+WITH e AS (
+  SELECT label, vec_id % 2 AS snap,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+c AS (SELECT label, snap, dim, AVG(val) AS c FROM e GROUP BY label, snap, dim),
+p AS (
+  SELECT a.label,
+         SUM(a.c * b.c) / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))) AS cs
+  FROM c a JOIN c b ON b.label = a.label AND b.dim = a.dim
+  WHERE a.snap = 0 AND b.snap = 1
+  GROUP BY a.label
+)
+SELECT label, ROUND(cs, 6) AS cos_shift, (cs < {_EMB_DRIFT_COS!r}) AS drifted FROM p
+"""

@@ -30,6 +30,16 @@ SUBSET = [
     "multimodal_png_meta",
     "stream_session_counts",
     "ann_ivf_recall",
+    # round-4 additions (ADVICE r03: order_unique_fused was in neither the
+    # driver sweep window nor this subset — now in both)
+    "order_unique_fused",
+    "contamination_ngram",
+    "multimodal_jpeg_meta",
+    "tdigest_rank_check",
+    "hll_error_check",
+    "iir_impulse_check",
+    "iir_biquad_impulse_check",
+    "emb_drift_check",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

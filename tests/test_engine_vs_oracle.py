@@ -108,6 +108,27 @@ def test_drift_scores_match_oracle(spark, synth_tables, impl):
         assert math.isclose(got[pid], s, rel_tol=1e-9), (pid, got[pid], s)
 
 
+def test_emb_drift_matches_oracle(spark, synth_tables):
+    """Embedding-centroid drift cosines must match the numpy oracle to
+    1e-9 relative, and ref-vs-ref must pass everywhere."""
+    from ssimulacra2_spark.operators.drift import emb_drift_check
+
+    t = synth_tables
+    cfg = t["cfg"]
+    ref_p = C.prepare(t["ref"].drop("partition_id"), cfg)
+    cand_p = C.prepare(t["cand"].drop("partition_id"), cfg)
+    parts = C.partition_counts(ref_p)
+    out = emb_drift_check(ref_p, cand_p, parts, cfg)
+    got = {r.partition_id: (r.score, r.passed) for r in out.verdicts.collect()}
+    want = oracle.emb_drift_cosines(t["res"].ref, t["res"].cand, cfg, t["partition_of"])
+    assert set(got) == set(want)
+    for pid, cos in want.items():
+        assert math.isclose(got[pid][0], cos, rel_tol=1e-9), (pid, got[pid], cos)
+        assert got[pid][1] == (cos >= cfg.emb_drift_min_cos)
+    clean = emb_drift_check(ref_p, ref_p, parts, cfg).verdicts.collect()
+    assert all(r.passed for r in clean)
+
+
 def test_drifted_partitions_score_lower(spark, synth_tables):
     t = synth_tables
     want = oracle.drift_scores(t["res"].ref, t["res"].cand, t["cfg"], t["partition_of"])

@@ -127,6 +127,54 @@ def test_drift_probe_selects_plan_not_row_split(spark):
         assert ("explode(" in p) == expect_chunked, hot  # the halo duplication
 
 
+def _window_specs(plan: str) -> list[tuple[tuple[str, ...], tuple[str, ...]]]:
+    """Parse (partition_cols, order_cols) out of every windowspecdefinition
+    in an executed-plan string (column names only, exprIds stripped)."""
+    import re
+
+    specs = []
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        part: list[str] = []
+        order: list[str] = []
+        for tok in (t.strip() for t in s.split(",")):
+            if tok.startswith("specifiedwindowframe"):
+                break
+            name = tok.split("#")[0]
+            (order if (" ASC" in tok or " DESC" in tok) else part).append(name)
+        specs.append((tuple(part), tuple(order)))
+    return specs
+
+
+def test_sessionize_asof_windows_stay_chunked(spark, queries):
+    """The two round-3 scale rewrites must KEEP their skew-safe window
+    shapes (the property tests pin VALUES; this pins the PLAN):
+
+    * sessionize_gap — every fact-row window (ordered by ts) must
+      partition by (user, chunk), never a bare whole-user key: one hot
+      user with 10^8 events in a single window task is the scale-killer
+      the chunked two-phase prefix scan removed.
+    * asof_join_policy — the sorted-carry window must partition by the
+      time bucket (bounded rows per window), and the only global
+      (unpartitioned) window allowed is the per-bucket summary scan
+      ordered by bkt — a global window ordered by ts would funnel all
+      fact rows through one task."""
+    p = _plan(queries["sessionize_gap"](spark, SF))
+    fact = [(pa, o) for pa, o in _window_specs(p) if "ts" in o]
+    assert fact, "sessionize_gap lost its fact-row windows entirely?"
+    for part, order in fact:
+        assert "chunk" in part and "user_id" in part, (part, order)
+
+    p = _plan(queries["asof_join_policy"](spark, SF))
+    specs = _window_specs(p)
+    carry = [(pa, o) for pa, o in specs if "ts" in o]
+    assert carry, "asof_join_policy lost its sorted-carry window?"
+    for part, order in carry:
+        assert "bkt" in part, (part, order)
+    for part, order in specs:
+        if not part:  # global window: summary scan over buckets only
+            assert order == ("bkt",), (part, order)
+
+
 def test_drift_exchange_ships_float32(spark):
     """The prepared channel columns must stay FloatType: a well-meaning
     'fix' back to double doubles the drift exchange bytes."""
