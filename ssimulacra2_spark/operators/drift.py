@@ -374,3 +374,113 @@ def emb_drift_check(
         cos.cast("double").alias("score"),
     )
     return CheckOutput(verdicts=verdicts)
+
+
+def psi_emb_fused_check(
+    ref: DataFrame, cand: DataFrame, parts: DataFrame, cfg: CheckSuiteConfig
+) -> CheckOutput:
+    """psi_ks + emb_drift from ONE scan per side.
+
+    Standalone, emb_drift pays two full featurization scans (ref + cand)
+    just to average the channel vectors — measured 3.97 s isolated at
+    8M turns/32c, almost all of it the scan the psi_ks branch performs
+    anyway. Fused: each side aggregates once to (partition, text_len-bin)
+    with BOTH the histogram count and per-channel partial sums; the
+    psi/ks statistics read the counts exactly as psi_ks_check does, and
+    the centroids re-aggregate the partial sums per partition
+    (sum-of-sums / sum-of-counts — same values as a direct AVG up to f64
+    summation order, pinned at 1e-9 by pytest). One scan, one
+    map-side-combinable shuffle per side serves both checks."""
+    eps = 1e-6
+    nb = cfg.drift_bins
+    chans = list(cfg.channels)
+
+    def agg_side(df: DataFrame, tag: str) -> DataFrame:
+        b = F.least(
+            F.lit(nb - 1),
+            F.floor(
+                F.least(F.coalesce(F.col("text_len"), F.lit(0)), F.lit(2047)) / (2048 / nb)
+            ),
+        ).cast("int")
+        return df.groupBy("partition_id", b.alias("bin")).agg(
+            F.count("*").alias(f"n_{tag}"),
+            *[
+                F.sum(F.col(f"ch_{c}").cast("double")).alias(f"s_{tag}{i}")
+                for i, c in enumerate(chans)
+            ],
+        )
+
+    j = (
+        agg_side(ref, "ref")
+        .join(agg_side(cand, "cand"), ["partition_id", "bin"], "full_outer")
+        .fillna(0, ["n_ref", "n_cand"])
+    )
+
+    # --- psi/ks over the counts (identical math to psi_ks_check) ---
+    tot = j.groupBy("partition_id").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cand").alias("t_cand")
+    )
+    shares = j.join(tot, "partition_id").select(
+        "partition_id",
+        "bin",
+        (F.col("n_ref") / F.col("t_ref") + eps).alias("p"),
+        (F.col("n_cand") / F.col("t_cand") + eps).alias("q"),
+    )
+    w = Window.partitionBy("partition_id").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = shares.select(
+        "partition_id",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi_term"),
+        F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("gap"),
+    )
+    stats = cum.groupBy("partition_id").agg(
+        F.sum("psi_term").alias("psi"), F.max("gap").alias("ks")
+    )
+    psi_verdicts = (
+        parts.select("partition_id")
+        .join(stats, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int"),
+            F.lit("psi_ks").alias("check_id"),
+            (
+                (F.coalesce(F.col("psi"), F.lit(0.0)) <= cfg.psi_threshold)
+                & (F.coalesce(F.col("ks"), F.lit(0.0)) <= cfg.ks_threshold)
+            ).alias("passed"),
+            F.lit(0).cast("long").alias("n_violations"),
+            F.col("psi").cast("double").alias("score"),
+        )
+    )
+
+    # --- centroid cosine over the partial sums (bins collapse away) ---
+    # side-missing bins carry n=0 (fillna) and NULL partial sums, so
+    # sum(s)/sum(n) is exactly the side's mean; a partition with zero rows
+    # on a side yields NULL -> cos NULL -> passed=False, matching the
+    # standalone check's left-join-miss behavior
+    cents = j.groupBy("partition_id").agg(
+        *[(F.sum(f"s_ref{i}") / F.sum("n_ref")).alias(f"a{i}") for i in range(len(chans))],
+        *[(F.sum(f"s_cand{i}") / F.sum("n_cand")).alias(f"b{i}") for i in range(len(chans))],
+    )
+    dot = sum(
+        (F.col(f"a{i}") * F.col(f"b{i}") for i in range(1, len(chans))),
+        F.col("a0") * F.col("b0"),
+    )
+    na = F.sqrt(
+        sum((F.col(f"a{i}") * F.col(f"a{i}") for i in range(1, len(chans))), F.col("a0") * F.col("a0"))
+    )
+    nbn = F.sqrt(
+        sum((F.col(f"b{i}") * F.col(f"b{i}") for i in range(1, len(chans))), F.col("b0") * F.col("b0"))
+    )
+    cos = dot / (na * nbn)
+    emb_verdicts = (
+        parts.select("partition_id")
+        .join(cents, "partition_id", "left")
+        .select(
+            F.col("partition_id").cast("int"),
+            F.lit("emb_drift").alias("check_id"),
+            F.coalesce(cos >= F.lit(cfg.emb_drift_min_cos), F.lit(False)).alias("passed"),
+            F.lit(0).cast("long").alias("n_violations"),
+            cos.cast("double").alias("score"),
+        )
+    )
+    return CheckOutput(verdicts=psi_verdicts.unionByName(emb_verdicts))

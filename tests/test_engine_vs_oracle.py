@@ -129,6 +129,44 @@ def test_emb_drift_matches_oracle(spark, synth_tables):
     assert all(r.passed for r in clean)
 
 
+def test_psi_emb_fused_matches_standalone(spark, synth_tables):
+    """The fused single-scan psi_ks+emb_drift branch must reproduce both
+    standalone checks: identical verdicts, scores equal to 1e-9 (the only
+    permitted difference is f64 partial-sum order)."""
+    from ssimulacra2_spark.operators.drift import (
+        emb_drift_check,
+        psi_emb_fused_check,
+        psi_ks_check,
+    )
+
+    t = synth_tables
+    cfg = t["cfg"]
+    ref_p = C.prepare(t["ref"].drop("partition_id"), cfg)
+    cand_p = C.prepare(t["cand"].drop("partition_id"), cfg)
+    parts = C.partition_counts(ref_p)
+    fused = {
+        (r.partition_id, r.check_id): (r.score, r.passed)
+        for r in psi_emb_fused_check(ref_p, cand_p, parts, cfg).verdicts.collect()
+    }
+    sa = {
+        (r.partition_id, r.check_id): (r.score, r.passed)
+        for out in (
+            psi_ks_check(ref_p, cand_p, parts, cfg),
+            emb_drift_check(ref_p, cand_p, parts, cfg),
+        )
+        for r in out.verdicts.collect()
+    }
+    assert set(fused) == set(sa)
+    for k, (score, passed) in sa.items():
+        assert fused[k][1] == passed, k
+        if score is None:
+            assert fused[k][0] is None, k
+        else:
+            assert math.isclose(fused[k][0], score, rel_tol=1e-9, abs_tol=1e-12), (
+                k, fused[k][0], score,
+            )
+
+
 def test_drifted_partitions_score_lower(spark, synth_tables):
     t = synth_tables
     want = oracle.drift_scores(t["res"].ref, t["res"].cand, t["cfg"], t["partition_of"])

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALL_CHECKS = (
     "schema", "min_rows", "row_parity", "uniqueness", "monotone_ts",
     "vocab_role", "vocab_tool", "text_parity", "column_stats",
-    "psi_ks", "drift_score",
+    "psi_ks", "emb_drift", "drift_score",
 )
 
 
