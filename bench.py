@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "multimodal_decode_stub",
     "multimodal_png_meta",
     "multimodal_jpeg_meta",
+    "multimodal_wav_meta",
     "contamination_ngram",
     "emb_drift_check",
     "sessionize_gap",

@@ -134,6 +134,17 @@ def cpu_ceiling(cores: int) -> float:
     return cpu_rate(cores)
 
 
+def bw_ceiling(cores: int) -> float:
+    """Aggregate streaming memory bandwidth (GB/s) at `cores` concurrent
+    copiers. The CPU burn is cache-resident; a scan/shuffle engine
+    streams its working set, so its attainable scaling sits BETWEEN the
+    CPU curve and this bandwidth curve."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from vm_pagefault_ceiling import membw_rate
+
+    return membw_rate(cores)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--turns", type=int, default=32_000_000)
@@ -180,10 +191,11 @@ def main() -> None:
 
     reps: list[dict] = []
     for i in range(args.reps):
-        rep: dict = {"rep": i, "ceiling_ops": {}, "engine": {}}
+        rep: dict = {"rep": i, "ceiling_ops": {}, "bw_gbps": {}, "engine": {}}
         # ceiling first, engine immediately after — one noise regime per rep
         for c in sorted({args.n_cores, *levels}):
             rep["ceiling_ops"][c] = cpu_ceiling(c)
+            rep["bw_gbps"][c] = bw_ceiling(c)
         for c in levels:
             rep["engine"][c] = run_level(
                 c, zip_path, args.turns, convs, data_dir,
@@ -195,7 +207,9 @@ def main() -> None:
             rep["engine"][xn]["turns_per_s"] / rep["engine"][n]["turns_per_s"]
         ) / factor
         rep["ceiling_eff"] = (rep["ceiling_ops"][xn] / rep["ceiling_ops"][n]) / factor
+        rep["bw_eff"] = (rep["bw_gbps"][xn] / rep["bw_gbps"][n]) / factor
         rep["normalized"] = rep["raw_eff"] / rep["ceiling_eff"]
+        rep["normalized_bw"] = rep["raw_eff"] / rep["bw_eff"]
         if args.mid_cores in rep["engine"]:
             mfac = args.mid_cores / n
             rep["raw_eff_mid"] = (
@@ -227,7 +241,8 @@ def main() -> None:
                 if c in r["engine"] else "-"
                 for c in sorted({args.n_cores, args.mid_cores, args.xn_cores})
             )
-            + f" | {r['raw_eff']:.3f} | {r['ceiling_eff']:.3f} | **{r['normalized']:.2f}** | {mid_txt} |"
+            + f" | {r['raw_eff']:.3f} | {r['ceiling_eff']:.3f} | {r['bw_eff']:.3f}"
+            + f" | **{r['normalized']:.2f}** | {r['normalized_bw']:.2f} | {mid_txt} |"
         )
     rep_table = "\n".join(rep_rows)
 
@@ -272,8 +287,15 @@ same-rep pure-CPU ceiling band {min(ceils):.3f}-{max(ceils):.3f}
 (north-rule criterion: raw >= 0.8 — attainable only when the ceiling
 itself reaches 0.8; the normalized number isolates the engine's share).
 
-| rep | {' | '.join(f'turns/s @{c}c' for c in sorted({args.n_cores, args.mid_cores, args.xn_cores}))} | raw {args.n_cores}->{args.xn_cores} | ceiling | **engine/ceiling** | {args.n_cores}->{args.mid_cores} raw/ceil = norm |
-|---|---|---|---|---|---|---|---|
+TWO ceilings are reported per rep because they bound different resources:
+the CPU burn is cache-resident (pure ALU scaling) while the bandwidth
+probe streams DRAM — a scan/shuffle engine's attainable scaling sits
+between them, weighted by its bytes-per-row. Sessions where the CPU
+ceiling is high but the engine gap is large are sessions where the
+memory subsystem, not the cores, stopped scaling.
+
+| rep | {' | '.join(f'turns/s @{c}c' for c in sorted({args.n_cores, args.mid_cores, args.xn_cores}))} | raw {args.n_cores}->{args.xn_cores} | cpu ceil | bw ceil | **eng/cpu** | eng/bw | {args.n_cores}->{args.mid_cores} raw/ceil = norm |
+|---|---|---|---|---|---|---|---|---|---|
 {rep_table}
 
 Best rep detail: raw {best['raw_eff']:.3f} vs ceiling {best['ceiling_eff']:.3f}
@@ -288,12 +310,16 @@ same single-JVM runtime (local[{args.n_cores}] vs local[{args.xn_cores}]).
 This VM's effective core budget fluctuates by session and degrades through
 the day — identical best-of-N sets measured 704k turns/s peak (round-2
 session), 635k and 567k (round-3 sessions); raw 8->32 efficiency samples
-0.48-0.64 against pure-CPU ceiling samples 0.55-0.87 (engine/ceiling
-0.61-0.89 before this protocol pinned both to the same rep). The stable
-cross-session signals: 2->8 efficiency 0.998 (host linear band); the
-8->32 shortfall is per-task CPU inflation at 32 threads on memory-heavy
-stages (measured 1.9x vs 8 threads on identical plans), i.e. the host
-memory subsystem, not plan shape — plans are identical at every level.
+0.38-0.64 against pure-CPU ceiling samples 0.55-0.91. Engine/ceiling
+samples: 0.61-0.89 (round-3 sessions, ceiling from the same session but
+not the same rep) and 0.43-0.57 (first same-rep run, round 4 — a session
+whose CPU ceiling was high at 0.88-0.91 while the engine stayed
+bandwidth-bound, which is exactly the case the two-ceiling report
+disambiguates). The stable cross-session signals: 2->8 efficiency 0.998
+(host linear band); the 8->32 shortfall is per-task CPU inflation at 32
+threads on memory-heavy stages (measured 1.9x vs 8 threads on identical
+plans), i.e. the host memory subsystem, not plan shape — plans are
+identical at every level.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
@@ -309,7 +335,9 @@ memory subsystem, not plan shape — plans are identical at every level.
                     {
                         "raw": round(r["raw_eff"], 3),
                         "ceiling": round(r["ceiling_eff"], 3),
+                        "bw_ceiling": round(r["bw_eff"], 3),
                         "normalized": round(r["normalized"], 3),
+                        "normalized_bw": round(r["normalized_bw"], 3),
                         "engine": {str(c): v for c, v in r["engine"].items()},
                     }
                     for r in reps

@@ -38,6 +38,9 @@ def main() -> None:
     # (config.py docstring; 'memory' persists the compact featurized
     # columns once instead of re-decoding text per check branch)
     p.add_argument("--cache-mode", default="none")
+    p.add_argument("--staging-dir", default=None,
+                   help="cache_mode=staging target (put on tmpfs for the "
+                        "prepared-projection experiment)")
     p.add_argument("--drift-impl", default="arrow", choices=["arrow", "window"])
     # adaptive kernel plan probe (config.drift_hot_turns): chunk the whole
     # kernel iff some conversation exceeds this; 0 = plain kernel always
@@ -72,6 +75,7 @@ def main() -> None:
         drift_subbuckets=args.drift_subbuckets,
         drift_hot_turns=args.drift_hot_turns,
         cache_mode=args.cache_mode,
+        staging_dir=args.staging_dir,
         drift_impl=args.drift_impl,
         checks=(
             "schema",

@@ -35,6 +35,7 @@ SUBSET = [
     "order_unique_fused",
     "contamination_ngram",
     "multimodal_jpeg_meta",
+    "multimodal_wav_meta",
     "tdigest_rank_check",
     "hll_error_check",
     "iir_impulse_check",

@@ -90,12 +90,45 @@ def cpu_rate(procs: int, work: int = 20_000_000) -> float:
     return procs * 4 * work / dt
 
 
+def _bw_worker(q, mb: int, secs: float) -> None:
+    import numpy as np
+
+    a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # pre-fault both buffers outside the timed window
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        np.copyto(b, a)
+        n += 1
+    q.put(2.0 * a.nbytes * n / (time.time() - t0))  # read+write bytes/s
+
+
+def membw_rate(procs: int, mb: int = 256, secs: float = 3.0) -> float:
+    """Aggregate streaming memory bandwidth (GB/s) at `procs` concurrent
+    copiers — the ceiling that actually binds a shuffle/scan-heavy engine.
+    The pure-CPU burn above is ALU-bound with a cache-resident working
+    set, so it can scale near-linearly in sessions where the memory
+    subsystem is already saturated at 32 threads; an engine that streams
+    hundreds of MB per task must be read against THIS curve too."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_bw_worker, args=(q, mb, secs)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / 1e9
+
+
 def main() -> None:
     cold, warm = _touch_live(2)
     f1 = parallel_fault_rate(1)
     f8 = parallel_fault_rate(8)
     c8 = cpu_rate(8)
     c32 = cpu_rate(32)
+    b8 = membw_rate(8)
+    b32 = membw_rate(32)
     out = {
         "fault_new_GBps_1proc": round(f1, 2),
         "fault_new_GBps_8proc": round(f8, 2),
@@ -106,6 +139,9 @@ def main() -> None:
         "cpu_Mops_8proc": round(c8 / 1e6, 1),
         "cpu_Mops_32proc": round(c32 / 1e6, 1),
         "cpu_scaling_eff_8_to_32": round((c32 / c8) / 4.0, 3),
+        "membw_GBps_8proc": round(b8, 1),
+        "membw_GBps_32proc": round(b32, 1),
+        "membw_scaling_eff_8_to_32": round((b32 / b8) / 4.0, 3),
     }
     print(json.dumps(out))
 
