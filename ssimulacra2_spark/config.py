@@ -74,6 +74,14 @@ class CheckSuiteConfig:
     # embedding-centroid drift (drift.emb_drift_check): minimum cosine
     # between the per-partition channel-vector centroids of the two sides
     emb_drift_min_cos: float = 0.995
+    # channels forming the per-turn vector for emb_drift. Default is the
+    # CHEAP pair: 'len' (length) and 'hash' (xxhash) — deliberately NOT
+    # 'tok', whose regex is the expensive featurization (measured
+    # ~1.9s/8M-rows/eval); referencing only cheap channels lets Catalyst
+    # prune the tok regex out of the fused psi+emb branch entirely
+    # (interleaved A/B: fused-with-tok cost ~+2-4s at 8M/32c, cheap pair
+    # ~+0). Must be a subset of `channels`.
+    emb_channels: tuple[str, ...] = ("len", "hash")
 
     # skew handling: two-phase salted aggregation fanout for hot conv_ids
     salt_buckets: int = 8

@@ -340,7 +340,9 @@ def emb_drift_check(
     machinery as registry/ivf.py's coarse quantizer, applied at suite
     scale. Ref analog: the weighted cross-plane reduce, lib.rs:344-487.
     """
-    chans = list(cfg.channels)
+    chans = [c for c in cfg.emb_channels if c in cfg.channels]
+    if not chans:
+        raise ValueError("emb_channels must be a non-empty subset of channels")
 
     def centroid(side: DataFrame, tag: str) -> DataFrame:
         return side.groupBy("partition_id").agg(
@@ -393,7 +395,9 @@ def psi_emb_fused_check(
     map-side-combinable shuffle per side serves both checks."""
     eps = 1e-6
     nb = cfg.drift_bins
-    chans = list(cfg.channels)
+    chans = [c for c in cfg.emb_channels if c in cfg.channels]
+    if not chans:
+        raise ValueError("emb_channels must be a non-empty subset of channels")
 
     def agg_side(df: DataFrame, tag: str) -> DataFrame:
         b = F.least(

@@ -223,8 +223,9 @@ def emb_drift_cosines(
     mirror of operators/drift.emb_drift_check)."""
 
     def centroids(df: pd.DataFrame) -> dict[int, np.ndarray]:
+        chans = [c for c in cfg.emb_channels if c in cfg.channels]
         feats = np.stack(
-            [_featurize_channel(df[cfg.text_col], ch) for ch in cfg.channels], axis=1
+            [_featurize_channel(df[cfg.text_col], ch) for ch in chans], axis=1
         )
         pid = df["conv_id"].map(partition_of).to_numpy()
         return {int(p): feats[pid == p].mean(axis=0) for p in np.unique(pid)}

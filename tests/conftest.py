@@ -30,6 +30,10 @@ def synth_tables(spark, tmp_path_factory):
         min_rows_per_partition=8,
         num_scales=4,
         channels=("len", "tok"),
+        # the pandas oracle cannot reproduce xxhash64, so the emb-drift
+        # vector uses the pandas-computable channels in tests (prod
+        # default is the cheap ('len', 'hash') pair)
+        emb_channels=("len", "tok"),
     )
     drift_convs = {f"c{i:06d}" for i in range(5, 9)}
     res = synth_pair(n_convs=60, seed=42, hot_convs=1, hot_turns=400, drift_convs=drift_convs)

@@ -127,6 +127,15 @@ def test_emb_drift_matches_oracle(spark, synth_tables):
         assert got[pid][1] == (cos >= cfg.emb_drift_min_cos)
     clean = emb_drift_check(ref_p, ref_p, parts, cfg).verdicts.collect()
     assert all(r.passed for r in clean)
+    # negative case: gut the text on one side -> centroids diverge and the
+    # check FIRES (guards against a threshold that can never fail)
+    import pyspark.sql.functions as F2
+
+    broken = C.prepare(
+        t["cand"].drop("partition_id").withColumn("text", F2.lit("x")), cfg
+    )
+    fired = emb_drift_check(ref_p, broken, parts, cfg).verdicts.collect()
+    assert any(not r.passed for r in fired)
 
 
 def test_psi_emb_fused_matches_standalone(spark, synth_tables):
