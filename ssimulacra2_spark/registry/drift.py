@@ -182,6 +182,67 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+_CENT_MIN_COS = 0.98
+
+
+@(lambda fn: (QUERIES.__setitem__("stream_centroid_drift", fn), fn)[1])
+def stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming centroid monitor
+    (streaming/validate_stream.py::centroid_stream): per 1-hour window,
+    the even/odd event_id halves act as ref/cand snapshots; each side's
+    centroid over the (value, props-length) feature pair is a mergeable
+    AVG, and the verdict is the cosine between the two centroids —
+    exactly the emb_drift math at window granularity. One narrow
+    map-combinable shuffle per side; the cosine join is n_windows rows."""
+    ev = load(spark, sf_dir, "events")
+    side = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("win_start"),
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.col("value").cast("double").alias("v"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("double").alias("pl"),
+    )
+    c = side.groupBy("win_start").agg(
+        F.avg(F.when(F.col("is_ref"), F.col("v"))).alias("rv"),
+        F.avg(F.when(F.col("is_ref"), F.col("pl"))).alias("rp"),
+        F.avg(F.when(~F.col("is_ref"), F.col("v"))).alias("cv"),
+        F.avg(F.when(~F.col("is_ref"), F.col("pl"))).alias("cp"),
+    )
+    cos = (F.col("rv") * F.col("cv") + F.col("rp") * F.col("cp")) / (
+        F.sqrt(F.col("rv") * F.col("rv") + F.col("rp") * F.col("rp"))
+        * F.sqrt(F.col("cv") * F.col("cv") + F.col("cp") * F.col("cp"))
+    )
+    return c.select(
+        "win_start",
+        r6(cos).alias("cos_shift"),
+        F.coalesce(cos >= F.lit(_CENT_MIN_COS), F.lit(False)).alias("stable"),
+    )
+
+
+ORACLES["stream_centroid_drift"] = f"""
+WITH side AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+         event_id % 2 = 0 AS is_ref,
+         CAST(value AS DOUBLE) AS v,
+         CAST(length(COALESCE(props, '')) AS DOUBLE) AS pl
+  FROM events
+),
+c AS (
+  SELECT win_start,
+         AVG(CASE WHEN is_ref THEN v END) AS rv,
+         AVG(CASE WHEN is_ref THEN pl END) AS rp,
+         AVG(CASE WHEN NOT is_ref THEN v END) AS cv,
+         AVG(CASE WHEN NOT is_ref THEN pl END) AS cp
+  FROM side GROUP BY win_start
+)
+SELECT win_start,
+       ROUND((rv * cv + rp * cp) / (SQRT(rv * rv + rp * rp) * SQRT(cv * cv + cp * cp)), 6)
+         AS cos_shift,
+       COALESCE((rv * cv + rp * cp) / (SQRT(rv * rv + rp * rp) * SQRT(cv * cv + cp * cp))
+         >= {_CENT_MIN_COS!r}, FALSE) AS stable
+FROM c
+"""
+
+
 @(lambda fn: (QUERIES.__setitem__("stream_dedup_counts", fn), fn)[1])
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalent of the streaming ingest dedup

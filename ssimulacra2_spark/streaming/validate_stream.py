@@ -59,6 +59,27 @@ def windowed_stats_stream(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def centroid_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-window channel centroid of the transcript stream — the
+    incremental form of the emb_drift centroid build (operators/drift.
+    emb_drift_check): each tumbling window accumulates mergeable partial
+    sums for the cheap channel pair (length, xxhash bucket), so a drift
+    monitor can compare successive windows' centroids as they close.
+    Watermark bounds the open-window state exactly like the batch check
+    bounds its shuffle (n_windows x n_dims partials)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.avg(F.length(t)).alias("c_len"),
+            F.avg(F.pmod(F.xxhash64(t), F.lit(4096)) / 4096.0).alias("c_hash"),
+            F.count("*").alias("n_turns"),
+        )
+        .select(F.col("w.start").alias("win_start"), "c_len", "c_hash", "n_turns")
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("last_turn", IntegerType()), StructField("n_seen", LongType())]
 )

@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ssimulacra2_spark.streaming.validate_stream import (
+    centroid_stream,
     monotone_stream,
     read_transcript_stream,
     run_available_now,
@@ -45,6 +46,35 @@ def test_windowed_stats_stream_matches_batch(spark, synth_tables, tmp_path):
     merged = got.merge(batch, on=["win_start", "role"], suffixes=("_s", "_b"))
     assert len(merged) == len(got)
     assert (merged["n_turns_s"] == merged["n_turns_b"]).all()
+    assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_centroid_stream_matches_batch(spark, synth_tables, tmp_path):
+    """The incremental centroid monitor must emit, for every closed
+    window, exactly the batch centroid of that window (the emb_drift
+    centroid math at window granularity)."""
+    in_dir = _write_chunks(synth_tables["res"], tmp_path)
+    stream = read_transcript_stream(spark, in_dir)
+    out = str(tmp_path / "cent_out")
+    run_available_now(centroid_stream(stream), out, str(tmp_path / "cent_ckpt"))
+    got = spark.read.parquet(out).toPandas()
+    t = F.coalesce(F.col("text"), F.lit(""))
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.avg(F.length(t)).alias("c_len"),
+            F.avg(F.pmod(F.xxhash64(t), F.lit(4096)) / 4096.0).alias("c_hash"),
+            F.count("*").alias("n_turns"),
+        )
+        .select(F.col("w.start").alias("win_start"), "c_len", "c_hash", "n_turns")
+        .toPandas()
+    )
+    merged = got.merge(batch, on="win_start", suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged["n_turns_s"] == merged["n_turns_b"]).all()
+    assert (abs(merged["c_len_s"] - merged["c_len_b"]) < 1e-9).all()
+    assert (abs(merged["c_hash_s"] - merged["c_hash_b"]) < 1e-9).all()
     assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
 
 
