@@ -68,3 +68,53 @@ def test_all_null_candidate_texts_flagged(spark):
     assert mism.count() == 8
     tp = v.filter(F.col("check_id") == "text_parity").collect()
     assert all(not r.passed for r in tp)
+
+
+def test_binary_parsers_fail_loudly_on_corrupt_payloads():
+    """The codec-free parsers must never silently mis-parse: wrong
+    signatures, desynced segment lengths, and truncated chunk walks all
+    raise (pure-pandas check of the mapInPandas bodies)."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from ssimulacra2_spark.registry.roundops import (
+        _jpeg_parse,
+        _jpeg_synthesize,
+        _wav_parse,
+        _wav_synthesize,
+    )
+
+    def run(parse_fn, payloads):
+        batch = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+        return list(parse_fn(iter([batch])))
+
+    # valid round trips parse
+    dims = pd.DataFrame({"doc_id": [3], "width": [100], "height": [50]})
+    jpeg = list(_jpeg_synthesize(iter([dims])))[0]["payload"][0]
+    out = run(_jpeg_parse, [jpeg])[0]
+    assert (out.width[0], out.height[0]) == (100, 50)
+    wdims = pd.DataFrame({"doc_id": [3], "sample_rate": [22050], "n_channels": [2]})
+    wav = list(_wav_synthesize(iter([wdims])))[0]["payload"][0]
+    out = run(_wav_parse, [wav])[0]
+    assert (out.sample_rate[0], out.n_channels[0]) == (22050, 2)
+
+    # corrupt signature
+    with pytest.raises(ValueError):
+        run(_jpeg_parse, [b"\x00\x00" + jpeg[2:]])
+    with pytest.raises(ValueError):
+        run(_wav_parse, [b"RIFX" + wav[4:]])
+    # desynced segment length (JPEG COM length overwritten)
+    bad = bytearray(jpeg)
+    bad[22:24] = struct.pack(">H", 9999)
+    with pytest.raises(ValueError):
+        run(_jpeg_parse, [bytes(bad)])
+    # RIFF size field not covering the stream
+    badw = bytearray(wav)
+    badw[4:8] = struct.pack("<I", 4)
+    with pytest.raises(ValueError):
+        run(_wav_parse, [bytes(badw)])
+    # truncated before the target chunk
+    with pytest.raises(ValueError):
+        run(_jpeg_parse, [jpeg[:6] + b"\xff\xd9"])
