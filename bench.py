@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "proj_ssim_expr",
     "agg_weighted_score",
     "stream_tumbling_counts",
+    "stream_centroid_drift",
 ]
 
 
