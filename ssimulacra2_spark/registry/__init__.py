@@ -9,15 +9,22 @@ rows-only check (reserved for genuinely non-SQL-expressible ops).
 
 Module order below is the driver-sweep order: the per-round CORRECTNESS
 sweep covers the FIRST 50 entries in dict insertion order (observed
-r01-r03: the recorded set is exactly the first-50 prefix, rotating as
-insertions changed). Round-4 rotation: the NEW roundops module plus
-order_unique_fused (registered after the r03 order froze, so never
-driver-recorded) are front-loaded; the four deliberately oracle-less
-rows-only entries (tdigest_quantiles, hll_tdigest_profile, iir_smooth,
-iir_smooth_biquad — each now paired with a full-oracle bound-verified
-variant in roundops) are moved PAST the sweep window so CORRECTNESS_r04
-records zero `no_oracle` rows. Union of driver r01-r04 green rows then
-covers every oracle-backed query id.
+r01-r04: the recorded set is exactly the first-50 prefix, rotating as
+insertions changed). Round-5 rotation (per VERDICT r04 #6 and ADVICE):
+the 35 ids NOT in the r04 window are front-loaded so every id is
+driver-recorded within the last two rounds, INCLUDING the four
+deliberately oracle-less rows-only ids — an explicit `no_oracle` row in
+the artifact is honest signal, and each sits directly next to its
+full-oracle bound-verified companion in the same window:
+
+    tdigest_quantiles   -> tdigest_rank_check      (empirical-rank bound)
+    hll_tdigest_profile -> hll_error_check         (rel-error bound vs exact)
+    iir_smooth          -> iir_impulse_check       (recursive-CTE oracle)
+    iir_smooth_biquad   -> iir_biquad_impulse_check (recursive-CTE oracle)
+
+The remaining slots re-record queries whose code or oracle changed this
+round (emb_drift_check / stream_centroid_drift rounded-flag fix,
+iir_biquad_impulse_check float-coercion) plus the round-5 additions.
 """
 
 from __future__ import annotations
@@ -30,13 +37,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-_ROWS_ONLY_LAST = (
+# First-50 sweep window for round 5 (see module docstring). Order within
+# the tuple is the sweep order; ids absent from the registry raise.
+_SWEEP_FRONT = (
+    # -- 31 oracle-backed ids not in the r04 driver window ------------------
+    "seq_scan_serialized",
+    "sink_stdout_score",
+    "sink_ordered_table",
+    "sink_graph_png",
+    "proj_colorspace_chain",
+    "proj_affine_normalize",
+    "proj_planar_pivot",
+    "elementwise_product_join",
+    "proj_bitdepth_cast",
+    "proj_score_calibrate",
+    "paired_zip_check",
+    "join_full_outer_parity",
+    "vocab_ref_integrity",
+    "box_downsample_2x",
+    "l1_l4_norms",
+    "agg_weighted_score",
+    "summary_stats",
+    "rolling_mean",
+    "uniqueness_check",
+    "count_min_guard",
+    "count_parity_guard",
+    "windowed_moments",
+    "monotone_order_check",
+    "sort_by_key",
+    "stride_sample_limit",
+    "math_scalar_suite",
+    "string_vocab_parse",
+    "string_path_ext",
+    "date_epoch_name",
+    "format_fixed",
+    "build_const_fold",
+    # -- rows-only ids, each adjacent to its bound-verified twin ------------
     "tdigest_quantiles",
+    "tdigest_rank_check",
     "hll_tdigest_profile",
+    "hll_error_check",
     "iir_smooth",
+    "iir_impulse_check",
     "iir_smooth_biquad",
+    "iir_biquad_impulse_check",
+    # -- changed this round (rounded drift flags) + round-5 additions -------
+    "emb_drift_check",
+    "stream_centroid_drift",
+    "stream_centroid_alert",
+    "dedup_clusters_star",
+    "order_unique_fused",
+    "psi_ks_drift",
+    "dedup_minhash_lsh_prod",
+    "dedup_clusters",
+    "contamination_ngram",
+    "scan_parquet",
 )
-_FRONT = ("order_unique_fused",)
 
 
 def _collect() -> None:
@@ -68,15 +124,15 @@ def _collect() -> None:
     ):
         QUERIES.update(mod.QUERIES)
         ORACLES.update({k: with_eps6(v) for k, v in mod.ORACLES.items()})
-    # explicit sweep-order pins (see module docstring): never-driver-checked
-    # ids to the front, oracle-less-by-design ids past the 50-query window
-    for name in reversed(_FRONT):
-        front = {name: QUERIES.pop(name)}
-        front.update(QUERIES)
-        QUERIES.clear()
-        QUERIES.update(front)
-    for name in _ROWS_ONLY_LAST:
-        QUERIES[name] = QUERIES.pop(name)
+    # explicit sweep-order pin (see module docstring): the round-5 window
+    # ids first, in _SWEEP_FRONT order, remaining ids in module order
+    missing = [n for n in _SWEEP_FRONT if n not in QUERIES]
+    if missing:
+        raise KeyError(f"_SWEEP_FRONT ids not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _SWEEP_FRONT}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 _collect()

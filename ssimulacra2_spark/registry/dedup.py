@@ -330,9 +330,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels are monotone non-increasing, so the sum is a convergence
     certificate). Star-graph diameters are tiny (bucket stars overlap
     through shared docs). Each round breaks lineage via localCheckpoint.
-    At 10^12 rows the same loop runs with the large-star/small-star
-    optimization, still O(log n) rounds of uniform-key shuffles — never
-    a driver-side graph.
+    For unbounded-diameter graphs (adversarial near-dup chains at the
+    10^12-row design point) use dedup_clusters_star below — the
+    implemented large-star/small-star alternation (operators/cc.py),
+    O(log^2 n) rounds of uniform-key shuffles on any graph; pytest pins
+    label equality between the two on the same LSH fixture
+    (tests/test_properties.py).
 
     Oracle: DuckDB recursive CTE computing min reachable node per node
     over the same star edges."""
@@ -386,7 +389,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["dedup_clusters"] = f"""
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_star_edges_ctes("duck")},
 walk(node, label) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
@@ -397,6 +400,34 @@ SELECT node AS doc_id, MIN(label) AS cluster_id,
        (node = MIN(label)) AS is_keeper
 FROM walk GROUP BY node
 """
+
+ORACLES["dedup_clusters"] = _CLUSTERS_ORACLE
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_clusters_star", fn), fn)[1])
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters via alternating large-star/small-star rounds
+    (operators/cc.py — Kiveris et al. SoCC'14): identical output
+    contract (doc_id, cluster_id, is_keeper) over the same LSH
+    bucket-star edges, but O(log^2 n) convergence on ANY graph shape —
+    the variant that survives adversarial near-dup chains at 10^12
+    rows, where min-label propagation's O(diameter) rounds do not.
+    Verified three ways: this full DuckDB recursive-CTE oracle, pytest
+    label equality with dedup_clusters, and a deep-chain fixture where
+    propagation's round budget would be exceeded (test_properties.py)."""
+    from ..operators.cc import connected_components_star
+
+    edges_sql = f"WITH {_star_edges_ctes('spark')} SELECT u, v FROM edges"
+    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    labels, _rounds = connected_components_star(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+ORACLES["dedup_clusters_star"] = _CLUSTERS_ORACLE
 
 
 ORACLES["dedup_embedding_cosine"] = """

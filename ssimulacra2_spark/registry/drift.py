@@ -211,10 +211,13 @@ def stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("rv") * F.col("rv") + F.col("rp") * F.col("rp"))
         * F.sqrt(F.col("cv") * F.col("cv") + F.col("cp") * F.col("cp"))
     )
+    # flag derives from the SAME rounded expression reported as cos_shift
+    # so a near-threshold cosine flips identically on both engines (flag
+    # parity inherits r6/EPS6 rounding parity)
     return c.select(
         "win_start",
         r6(cos).alias("cos_shift"),
-        F.coalesce(cos >= F.lit(_CENT_MIN_COS), F.lit(False)).alias("stable"),
+        F.coalesce(r6(cos) >= F.lit(_CENT_MIN_COS), F.lit(False)).alias("stable"),
     )
 
 
@@ -237,9 +240,74 @@ c AS (
 SELECT win_start,
        ROUND((rv * cv + rp * cp) / (SQRT(rv * rv + rp * rp) * SQRT(cv * cv + cp * cp)), 6)
          AS cos_shift,
-       COALESCE((rv * cv + rp * cp) / (SQRT(rv * rv + rp * rp) * SQRT(cv * cv + cp * cp))
+       COALESCE(ROUND((rv * cv + rp * cp) / (SQRT(rv * rv + rp * rp) * SQRT(cv * cv + cp * cp)), 6)
          >= {_CENT_MIN_COS!r}, FALSE) AS stable
 FROM c
+"""
+
+
+# ~P10 of the successive-window cosine on the synthetic events table —
+# alerts are the exceptional signal (~9% of windows), not the default
+_ALERT_MIN_COS = 0.85
+
+
+@(lambda fn: (QUERIES.__setitem__("stream_centroid_alert", fn), fn)[1])
+def stream_centroid_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming successive-window drift ALERT
+    (streaming/validate_stream.py::centroid_alert_stream): per
+    event_type, the centroid of each 1-hour window is compared to the
+    centroid of the window immediately before it; an alert fires when
+    the rounded cosine drops below threshold. The per-(type, hour)
+    centroid is one map-combinable shuffle; the successive-window
+    comparison is a self-join of the tiny aggregate on
+    (event_type, hour - 1h) — n_types x n_windows rows regardless of
+    event volume, so it broadcasts. Flag derives from the SAME rounded
+    expression reported as cos_prev (rounding-parity convention).
+    Reference analog: the per-frame score stream consumed by a rolling
+    monitor, video.rs:484-495."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.avg(F.col("value").cast("double")).alias("cv"),
+        F.avg(
+            F.length(F.coalesce(F.col("props"), F.lit(""))).cast("double")
+        ).alias("cp"),
+    )
+    prev = c.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h"),
+        F.col("cv").alias("pv"),
+        F.col("cp").alias("pp"),
+    )
+    j = c.join(prev, ["event_type", "h"])
+    cos = (F.col("cv") * F.col("pv") + F.col("cp") * F.col("pp")) / (
+        F.sqrt(F.col("cv") * F.col("cv") + F.col("cp") * F.col("cp"))
+        * F.sqrt(F.col("pv") * F.col("pv") + F.col("pp") * F.col("pp"))
+    )
+    return j.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        r6(cos).alias("cos_prev"),
+        (r6(cos) < F.lit(_ALERT_MIN_COS)).alias("alert"),
+    )
+
+
+ORACLES["stream_centroid_alert"] = f"""
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         AVG(CAST(value AS DOUBLE)) AS cv,
+         AVG(CAST(length(COALESCE(props, '')) AS DOUBLE)) AS cp
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(a.h, '%Y-%m-%d %H:%M') AS win_start, a.event_type,
+       ROUND((a.cv * b.cv + a.cp * b.cp)
+             / (SQRT(a.cv * a.cv + a.cp * a.cp) * SQRT(b.cv * b.cv + b.cp * b.cp)), 6)
+         AS cos_prev,
+       (ROUND((a.cv * b.cv + a.cp * b.cp)
+             / (SQRT(a.cv * a.cv + a.cp * a.cp) * SQRT(b.cv * b.cv + b.cp * b.cp)), 6)
+         < {_ALERT_MIN_COS!r}) AS alert
+FROM c a JOIN c b ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 1 HOUR
 """
 
 

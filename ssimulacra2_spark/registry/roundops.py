@@ -500,6 +500,11 @@ def _biquad_oracle() -> str:
     from ..functions.recursive_gaussian import rg_coeffs
 
     big_n, n2, d1 = rg_coeffs(SIGMA)
+    # numpy >= 2.0 reprs np.float64(x) as 'np.float64(x)', which would make
+    # the interpolated SQL unparseable — coerce to plain Python floats
+    n2 = [float(v) for v in n2]
+    d1 = [float(v) for v in d1]
+    big_n = int(big_n)
     n = _IIR_N
     return f"""
 WITH RECURSIVE st AS (
@@ -564,10 +569,14 @@ def emb_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cs")
         )
     )
+    # the flag derives from the SAME rounded expression reported as
+    # cos_shift (not the raw cosine): a value within ~1 ulp of the
+    # threshold must flip identically on both engines, so flag parity
+    # inherits the rounding-parity guarantees of r6/EPS6
     return cos.select(
         "label",
         r6("cs").alias("cos_shift"),
-        (F.col("cs") < F.lit(_EMB_DRIFT_COS)).alias("drifted"),
+        (r6("cs") < F.lit(_EMB_DRIFT_COS)).alias("drifted"),
     )
 
 
@@ -586,5 +595,7 @@ p AS (
   WHERE a.snap = 0 AND b.snap = 1
   GROUP BY a.label
 )
-SELECT label, ROUND(cs, 6) AS cos_shift, (cs < {_EMB_DRIFT_COS!r}) AS drifted FROM p
+SELECT label, ROUND(cs, 6) AS cos_shift,
+       (ROUND(cs, 6) < {_EMB_DRIFT_COS!r}) AS drifted
+FROM p
 """

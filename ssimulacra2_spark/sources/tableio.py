@@ -321,7 +321,14 @@ class ParquetTableIO:
         paths = self._verdict_paths(run_id, as_of, want)
         if not paths:
             return self._empty_results(spark, "verdicts")
-        df = spark.read.parquet(*paths)
+        # mergeSchema: a run resumed across engine versions can mix filesets
+        # written before/after the commit_seq column existed; plain
+        # spark.read.parquet infers the schema from ONE file, so whether the
+        # read crashes (UNRESOLVED_COLUMN) or silently nulls depends on path
+        # order. Merge, then backfill the column for all-old filesets.
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "commit_seq" not in df.columns:
+            df = df.withColumn("commit_seq", F.lit(None).cast("long"))
         if partition_range is not None:
             lo, hi = partition_range
             df = df.filter((F.col("partition_id") >= lo) & (F.col("partition_id") <= hi))

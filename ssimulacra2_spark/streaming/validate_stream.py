@@ -23,11 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 TRANSCRIPT_DDL = (
@@ -77,6 +80,108 @@ def centroid_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
             F.count("*").alias("n_turns"),
         )
         .select(F.col("w.start").alias("win_start"), "c_len", "c_hash", "n_turns")
+    )
+
+
+def keyed_centroid_stream(
+    stream: DataFrame, key: str = "role", watermark: str = "1 hour"
+) -> DataFrame:
+    """centroid_stream keyed by a label column: per (key, 1h window) the
+    mergeable centroid of the cheap channel pair. The closed-window rows
+    feed centroid_alert_stream below (file sink -> file source, the
+    standard two-stage streaming topology, since a flatMapGroupsWithState
+    stage cannot chain directly after a streaming aggregation)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col(key).alias("k"))
+        .agg(
+            F.avg(F.length(t)).alias("c_len"),
+            F.avg(F.pmod(F.xxhash64(t), F.lit(4096)) / 4096.0).alias("c_hash"),
+            F.count("*").alias("n_turns"),
+        )
+        .select(F.col("w.start").alias("win_start"), "k", "c_len", "c_hash", "n_turns")
+    )
+
+
+_ALERT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_epoch", LongType()),
+        StructField("last_a", DoubleType()),
+        StructField("last_b", DoubleType()),
+    ]
+)
+_ALERT_OUT_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("win_start", TimestampType()),
+        StructField("cos_prev", DoubleType()),
+        StructField("alert", BooleanType()),
+    ]
+)
+
+#: a window's centroid must drop below this cosine vs the previous window
+#: to raise an alert (mirrors registry.drift._ALERT_MIN_COS convention)
+ALERT_MIN_COS = 0.85
+
+
+def _centroid_alert_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful successive-window comparator: O(1) state per key = the
+    last closed window's (epoch, centroid). Arriving closed-window rows
+    are sorted by window start; each is compared to the window exactly
+    one hour before it (carried across micro-batches through state).
+    Fully vectorized — shift + elementwise cosine, no per-row Python."""
+    import numpy as np
+
+    (k,) = key
+    last_epoch, last_a, last_b = (
+        state.get if state.exists else (None, np.nan, np.nan)
+    )
+    outs = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("win_start")
+        # robust to pandas datetime64 unit (ns vs us across Arrow versions)
+        ep = pdf["win_start"].to_numpy().astype("datetime64[s]").astype("int64")
+        a = pdf["c_len"].to_numpy(np.float64)
+        b = pdf["c_hash"].to_numpy(np.float64)
+        pa = np.concatenate(([last_a], a[:-1]))
+        pb = np.concatenate(([last_b], b[:-1]))
+        pe = np.concatenate(([last_epoch if last_epoch is not None else -1], ep[:-1]))
+        cos = (a * pa + b * pb) / (np.hypot(a, b) * np.hypot(pa, pb))
+        ok = pe == ep - 3600  # only immediately-adjacent windows compare
+        cos_r = np.round(cos + 5.0123e-8, 6)  # EPS6/r6 rounding convention
+        out = pd.DataFrame(
+            {
+                "k": k,
+                "win_start": pdf["win_start"].to_numpy(),
+                "cos_prev": np.where(ok, cos_r, np.nan),
+                "alert": (cos_r < ALERT_MIN_COS) & ok,
+            }
+        )[ok]
+        outs.append(out)
+        last_epoch, last_a, last_b = int(ep[-1]), float(a[-1]), float(b[-1])
+    if last_epoch is not None:
+        state.update((last_epoch, last_a, last_b))
+    yield from outs
+
+
+def centroid_alert_stream(centroids: DataFrame) -> DataFrame:
+    """Streaming drift alerting over a closed-centroid stream (the output
+    of keyed_centroid_stream read back as a stream): per key, cosine
+    between each window's centroid and the previous window's, alert rows
+    when below ALERT_MIN_COS — the incremental form of the batch
+    stream_centroid_alert registry query (registry/drift.py), which a
+    DuckDB lag-join oracle verifies; pytest pins stream == batch."""
+    return centroids.groupBy("k").applyInPandasWithState(
+        _centroid_alert_fn,
+        outputStructType=_ALERT_OUT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

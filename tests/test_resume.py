@@ -243,3 +243,50 @@ def test_snapshot_time_travel(spark, synth_tables, tmp_path):
     assert pids0 and all(p % 2 == 0 for p in pids0)
     with pytest.raises(KeyError):
         io.committed_batches("r", as_of="nonexistent")
+
+
+def test_resume_across_pre_commit_seq_filesets(spark, tmp_path):
+    """Schema evolution on resume: a run can mix filesets written before
+    the commit_seq column existed with new ones. Plain spark.read.parquet
+    infers the schema from a single file, so whether that read crashed
+    (UNRESOLVED_COLUMN) or silently nulled depended on path order;
+    read_verdicts must instead merge schemas, backfill commit_seq for the
+    old fileset, and resolve newest-wins with old rows losing to any
+    sequenced commit (nulls_last)."""
+    import shutil
+
+    from ssimulacra2_spark.operators.checks import VERDICT_SCHEMA
+
+    io = ParquetTableIO(str(tmp_path / "mix"), compact_every=0)
+    io.write_results(
+        "r",
+        spark.createDataFrame(
+            [(0, "chk", True, 0, None), (1, "chk", True, 0, None)],
+            schema=VERDICT_SCHEMA,
+        ),
+        None,
+    )
+    # emulate a pre-upgrade fileset: rewrite batch 0 without commit_seq
+    old_dir = io._verdict_paths("r", None)[0]
+    stripped = str(tmp_path / "stripped")
+    spark.read.parquet(old_dir).drop("commit_seq").write.parquet(stripped)
+    shutil.rmtree(old_dir)
+    shutil.move(stripped, old_dir)
+    assert "commit_seq" not in spark.read.parquet(old_dir).columns
+
+    # new engine commits a batch rewriting partition 0
+    io.write_results(
+        "r",
+        spark.createDataFrame([(0, "chk", False, 7, None)], schema=VERDICT_SCHEMA),
+        None,
+    )
+    got = {
+        r.partition_id: (r.passed, r.n_violations)
+        for r in io.read_verdicts(spark, "r").collect()
+    }
+    assert got == {0: (False, 7), 1: (True, 0)}
+
+    # the all-old-filesets path also reads cleanly (backfilled column)
+    v0 = io.read_verdicts(spark, "r", as_of=io.committed_batches("r")[0])
+    assert "commit_seq" in v0.columns
+    assert {r.partition_id for r in v0.collect()} == {0, 1}

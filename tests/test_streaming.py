@@ -208,3 +208,73 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     got = spark.read.parquet(out)
     keys = [(r.conv_id, r.turn_idx) for r in got.collect()]
     assert len(keys) == len(set(keys)) == 4  # (a,1) (a,2) (b,1) (b,2)
+
+
+def test_centroid_alert_stream_matches_batch(spark, synth_tables, tmp_path):
+    """Two-stage streaming drift alerting: keyed per-(role, window)
+    centroids (stage 1) feed the stateful successive-window comparator
+    (stage 2, applyInPandasWithState, O(1) state per key). The emitted
+    (key, window, cos, alert) rows must equal the batch lag-join
+    computation — the same math the stream_centroid_alert registry
+    query runs over events with a DuckDB oracle."""
+    import numpy as np
+
+    from ssimulacra2_spark.streaming.validate_stream import (
+        ALERT_MIN_COS,
+        centroid_alert_stream,
+        keyed_centroid_stream,
+    )
+
+    in_dir = _write_chunks(synth_tables["res"], tmp_path)
+    stream = read_transcript_stream(spark, in_dir)
+    cent_dir = str(tmp_path / "cent")
+    run_available_now(
+        keyed_centroid_stream(stream), cent_dir, str(tmp_path / "ckpt_c")
+    )
+    cent_schema = spark.read.parquet(cent_dir).schema
+    cent_stream = (
+        spark.readStream.schema(cent_schema).parquet(cent_dir)
+    )
+    alert_dir = str(tmp_path / "alerts")
+    run_available_now(
+        centroid_alert_stream(cent_stream), alert_dir, str(tmp_path / "ckpt_a")
+    )
+    got = spark.read.parquet(alert_dir).toPandas()
+    assert len(got) > 0
+
+    # batch expectation: lag-join the BATCH per-(role, hour) centroids
+    t = F.coalesce(F.col("text"), F.lit(""))
+    c = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("role").alias("k"))
+        .agg(
+            F.avg(F.length(t)).alias("c_len"),
+            F.avg(F.pmod(F.xxhash64(t), F.lit(4096)) / 4096.0).alias("c_hash"),
+        )
+        .select(F.col("w.start").alias("win_start"), "k", "c_len", "c_hash")
+        .toPandas()
+        .sort_values(["k", "win_start"])
+    )
+    exp = {}
+    for k, grp in c.groupby("k"):
+        ep = grp["win_start"].to_numpy().astype("datetime64[s]").astype("int64")
+        a = grp["c_len"].to_numpy()
+        b = grp["c_hash"].to_numpy()
+        for i in range(1, len(grp)):
+            if ep[i] - ep[i - 1] != 3600:
+                continue
+            cos = (a[i] * a[i - 1] + b[i] * b[i - 1]) / (
+                np.hypot(a[i], b[i]) * np.hypot(a[i - 1], b[i - 1])
+            )
+            cos_r = round(cos + 5.0123e-8, 6)
+            exp[(k, grp["win_start"].iloc[i])] = (cos_r, cos_r < ALERT_MIN_COS)
+
+    got_map = {
+        (r.k, r.win_start): (r.cos_prev, r.alert) for r in got.itertuples()
+    }
+    # append mode emits watermark-closed windows; every emitted row must
+    # exactly match its batch counterpart and coverage must be high
+    for key, val in got_map.items():
+        assert key in exp, key
+        assert abs(exp[key][0] - val[0]) < 1e-9 and exp[key][1] == val[1], (key, val, exp[key])
+    assert len(got_map) >= 0.7 * len(exp), (len(got_map), len(exp))
