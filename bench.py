@@ -33,10 +33,13 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_prod",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
     "ann_lsh_topk",
     "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_clusters_prod",
     "lang_id",
     "quality_score",
     "token_count",
@@ -53,6 +56,7 @@ HEADLINE_QUERIES = [
     "agg_weighted_score",
     "stream_tumbling_counts",
     "stream_centroid_drift",
+    "stream_centroid_alert",
 ]
 
 

@@ -114,6 +114,10 @@ def main() -> None:
         "turns": args.turns,
         "wall_s": round(wall, 2),
         "turns_per_s": round(args.turns / wall, 1),
+        # timed-pass window (epoch ms) so the scaling harness can slice
+        # the event log to the timed pass only (roofline bytes/turn)
+        "t0_ms": int(t0 * 1000),
+        "t1_ms": int((t0 + wall) * 1000),
     }
     print("SUITE_BENCH_RESULT " + json.dumps(out))
     sys.stdout.flush()

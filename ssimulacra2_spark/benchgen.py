@@ -75,6 +75,8 @@ def stage_pair(
     n_turns: int,
     n_convs: int,
     base_dir: str,
+    layout: str = "clustered",
+    n_buckets: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Write the (ref, cand) pair to `base_dir` as CONVERSATION-CLUSTERED
     parquet and return readers for both.
@@ -90,8 +92,26 @@ def stage_pair(
     (conv, ...) sort exploits. Clustered-but-skewed beats
     balanced-but-scattered; at warehouse scale the answer is an Iceberg
     writer clustered by bucket(conv_id) with a target file size, which
-    this layout emulates."""
+    this layout emulates.
+
+    layout="bucketed" writes BOTH sides hash-bucketed by conv_id (sorted
+    by (conv_id, turn_idx) within buckets) through TableIO.write_snapshot:
+    the suite's two fact shuffles — the text-parity (conv, turn) join and
+    the order+unique (conv, chunk) window — then run exchange-free
+    straight off the scans (plan-guarded in tests/test_plan_shapes.py).
+    This is the layout a 100 TB deployment writes once at ingest and
+    amortizes over every validation run."""
     ref_path, cand_path = f"{base_dir}/ref", f"{base_dir}/cand"
+    if layout == "bucketed":
+        from .sources.tableio import ParquetTableIO
+
+        io = ParquetTableIO(f"{base_dir}/snapmeta")
+        nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        kw = dict(bucket_by=("conv_id",), n_buckets=nb, sort_by=("conv_id", "turn_idx"))
+        io.write_snapshot(make_transcripts(spark, n_turns, n_convs), ref_path, **kw)
+        ref = io.read_snapshot(spark, ref_path)
+        io.write_snapshot(distort(ref), cand_path, **kw)
+        return ref, io.read_snapshot(spark, cand_path)
     make_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(ref_path)
     ref = spark.read.parquet(ref_path)
     distort(ref).write.mode("overwrite").parquet(cand_path)

@@ -89,9 +89,10 @@ _SWEEP_FRONT = (
     "order_unique_fused",
     "psi_ks_drift",
     "dedup_minhash_lsh_prod",
+    "dedup_clusters_prod",
     "dedup_clusters",
     "contamination_ngram",
-    "scan_parquet",
+    "multimodal_jpeg_meta",
 )
 
 

@@ -142,7 +142,9 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
-def _star_edges_ctes(dialect: str) -> str:
+def _star_edges_ctes(
+    dialect: str, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
     """CTE chain ending in `edges(u, v)` — the LINEAR connectivity graph.
 
     A band bucket of k near-identical docs induces k*(k-1)/2 candidate
@@ -150,8 +152,9 @@ def _star_edges_ctes(dialect: str) -> str:
     synthetic docs -> 4.3M pairs). Connectivity does NOT need the clique:
     connect every bucket member to the bucket's min doc_id (a star). The
     connected components — and therefore cluster ids and keepers — are
-    identical, with |edges| <= docs x bands."""
-    return f"""{_minhash_ctes(dialect)},
+    identical, with |edges| <= docs x bands. Parameterized like
+    _minhash_ctes so the production LSH config reuses the pipeline."""
+    return f"""{_minhash_ctes(dialect, num_hashes=num_hashes, bands=bands)},
 hubs AS (
   SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey
 ),
@@ -428,6 +431,42 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_clusters_star"] = _CLUSTERS_ORACLE
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_clusters_prod", fn), fn)[1])
+def dedup_clusters_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution at the PRODUCTION LSH parameterization (128
+    permutations, 16 bands x 8 rows — the dedup_minhash_lsh_prod config)
+    using the star-CC algorithm: the exact end-to-end pipeline a 100 TB
+    dedup run executes, kept in the timed bench set so the scale config's
+    cost is tracked across rounds (VERDICT r04 #7). Same recursive-CTE
+    oracle over the prod-parameter star edges."""
+    from ..operators.cc import connected_components_star
+
+    edges_sql = (
+        f"WITH {_star_edges_ctes('spark', num_hashes=128, bands=16)} "
+        "SELECT u, v FROM edges"
+    )
+    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    labels, _rounds = connected_components_star(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+ORACLES["dedup_clusters_prod"] = f"""
+WITH RECURSIVE {_star_edges_ctes("duck", num_hashes=128, bands=16)},
+walk(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_keeper
+FROM walk GROUP BY node
+"""
 
 
 ORACLES["dedup_embedding_cosine"] = """

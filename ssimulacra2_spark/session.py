@@ -71,6 +71,16 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Accept subset co-partitioning for joins: two snapshots bucketed
+        # by conv_id can sort-merge-join on (conv_id, turn_idx) with ZERO
+        # exchange (HashPartitioning(conv_id) satisfies the clustered
+        # distribution of the superset key). Only kicks in when both sides
+        # already share a compatible partitioning — the bucketed-snapshot
+        # layout (sources/tableio.write_snapshot / benchgen.stage_pair);
+        # plans without pre-partitioned children are unchanged. Skew risk
+        # is the engine's own partition unit (conversations), already
+        # handled by chunking/salting above the scan.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

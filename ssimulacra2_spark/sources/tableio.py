@@ -50,7 +50,71 @@ class ParquetTableIO:
 
     # -- snapshots ----------------------------------------------------------
     def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
-        return spark.read.parquet(path)
+        """Read a snapshot; if the manifest records a bucket spec for this
+        path (write_snapshot with bucket_by), the scan is exposed to
+        Catalyst AS bucketed — downstream (conv, ...) windows and
+        (conv, turn) joins then need no exchange (the Iceberg
+        write.distribution-mode=hash + bucket-transform analog)."""
+        spec = self._load_manifest().get("snapshots", {}).get(os.path.abspath(path))
+        if not spec:
+            return spark.read.parquet(path)
+        table = spec["table"]
+        if not spark.catalog.tableExists(table):
+            # session catalogs are in-memory: re-register the external
+            # bucketed table from the manifest spec (the files ARE
+            # bucketed — our own writer produced them)
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            bcols = ", ".join(f"`{c}`" for c in spec["bucket_by"])
+            scols = ", ".join(f"`{c}`" for c in spec["sort_by"])
+            spark.sql(
+                f"CREATE TABLE `{table}` ({cols}) USING parquet "
+                f"CLUSTERED BY ({bcols}) "
+                + (f"SORTED BY ({scols}) " if scols else "")
+                + f"INTO {spec['n_buckets']} BUCKETS LOCATION '{path}'"
+            )
+        return spark.table(table)
+
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        path: str,
+        bucket_by: tuple[str, ...] = (),
+        n_buckets: int = 0,
+        sort_by: tuple[str, ...] = (),
+    ) -> None:
+        """Write an input snapshot; with bucket_by, the files are written
+        hash-bucketed (one file per bucket: a pre-repartition on the
+        bucket key means each write task owns exactly one bucket) and the
+        spec is recorded in the manifest so read_snapshot re-exposes the
+        layout in any later session. Bucket both sides of a pair by
+        conv_id and the suite's fact shuffles (text-parity join,
+        order+unique window) disappear — plan-guarded in
+        tests/test_plan_shapes.py."""
+        if not bucket_by:
+            df.write.mode("overwrite").parquet(path)
+            return
+        if n_buckets <= 0:
+            raise ValueError("bucketed snapshot needs n_buckets > 0")
+        table = "snap_" + uuid.uuid4().hex[:12]
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        (
+            df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*(sort_by or bucket_by))
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        m = self._load_manifest()
+        m.setdefault("snapshots", {})[os.path.abspath(path)] = {
+            "table": table,
+            "bucket_by": list(bucket_by),
+            "n_buckets": n_buckets,
+            "sort_by": list(sort_by or bucket_by),
+        }
+        self._save_manifest(m)
 
     # -- manifest (batch-level commit markers only) --------------------------
     def _load_manifest(self) -> dict:

@@ -193,3 +193,69 @@ def test_drift_exchange_ships_float32(spark):
     df = prepare(ev, cfg)
     for ch in cfg.channels:
         assert df.schema[f"ch_{ch}"].dataType.simpleString() == "float", ch
+
+
+def test_bucketed_snapshots_eliminate_fact_exchanges(spark, tmp_path):
+    """The 100 TB layout lever: a snapshot pair written bucketed by
+    conv_id (TableIO.write_snapshot via stage_pair layout='bucketed')
+    must run BOTH fact shuffles of the suite exchange-free — the
+    text-parity full-outer join on (conv_id, turn_idx) and the fused
+    order+unique (conv_id, chunk) window — because
+    HashPartitioning(conv_id) from the bucketed scan satisfies every
+    superset clustering. Values must equal the unbucketed path."""
+    from ssimulacra2_spark.benchgen import stage_pair
+    from ssimulacra2_spark.config import CheckSuiteConfig
+    from ssimulacra2_spark.operators import checks as C
+
+    cfg = CheckSuiteConfig(n_buckets=8)
+    ref_p, cand_p = stage_pair(spark, 60_000, 600, str(tmp_path / "plain"))
+    ref_b, cand_b = stage_pair(
+        spark, 60_000, 600, str(tmp_path / "bkt"), layout="bucketed", n_buckets=8
+    )
+    pb_ref, pb_cand = C.prepare(ref_b, cfg), C.prepare(cand_b, cfg)
+
+    tp = C.text_parity_violations(pb_ref, pb_cand, cfg)
+    assert "Exchange" not in _plan(tp)
+    ou = C.order_unique_violations(pb_cand, cfg)
+    assert "Exchange" not in _plan(ou)
+
+    # parity with the unbucketed path (same generator, same distortions)
+    pp_ref, pp_cand = C.prepare(ref_p, cfg), C.prepare(cand_p, cfg)
+    assert set(map(tuple, tp.collect())) == set(
+        map(tuple, C.text_parity_violations(pp_ref, pp_cand, cfg).collect())
+    )
+    assert set(map(tuple, ou.collect())) == set(
+        map(tuple, C.order_unique_violations(pp_cand, cfg).collect())
+    )
+
+
+def test_bucketed_snapshot_survives_catalog_loss(spark, tmp_path):
+    """Session catalogs are in-memory: read_snapshot must re-register a
+    bucketed snapshot from the manifest spec (CREATE TABLE ... CLUSTERED
+    BY ... LOCATION) and still expose the bucketed scan."""
+    from pyspark.sql import functions as F
+
+    from ssimulacra2_spark.sources.tableio import ParquetTableIO
+
+    io = ParquetTableIO(str(tmp_path / "meta"))
+    df = spark.range(5000).select(
+        (F.col("id") % 50).cast("string").alias("conv_id"),
+        (F.col("id") / 50).cast("int").alias("turn_idx"),
+        F.xxhash64("id").alias("h"),
+    )
+    path = str(tmp_path / "snap")
+    io.write_snapshot(df, path, bucket_by=("conv_id",), n_buckets=4,
+                      sort_by=("conv_id", "turn_idx"))
+    spec = io._load_manifest()["snapshots"][path]
+    spark.sql(f"DROP TABLE `{spec['table']}`")  # simulate a fresh session
+    got = io.read_snapshot(spark, path)
+    # Spark only engages the bucketed scan when an operator needs the
+    # distribution — assert through a conv_id aggregation, which must run
+    # exchange-free off the re-registered table
+    agg = got.groupBy("conv_id").agg(F.count("*").alias("n"))
+    p = _plan(agg)
+    assert "Bucketed: true" in p and "Exchange" not in p
+    assert got.count() == 5000
+    # and an unbucketed path still round-trips as plain parquet
+    io.write_snapshot(df, str(tmp_path / "plainsnap"))
+    assert io.read_snapshot(spark, str(tmp_path / "plainsnap")).count() == 5000
