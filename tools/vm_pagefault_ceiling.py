@@ -121,6 +121,46 @@ def membw_rate(procs: int, mb: int = 256, secs: float = 3.0) -> float:
     return total / 1e9
 
 
+def _lat_worker(q, mb: int, secs: float) -> None:
+    import numpy as np
+
+    n = mb * 131072  # float64 slots -> mb MiB
+    rng = np.random.default_rng(12345)
+    perm = rng.permutation(n).astype(np.int64)  # one random cycle
+    nxt = np.empty(n, dtype=np.int64)
+    nxt[perm[:-1]] = perm[1:]
+    nxt[perm[-1]] = perm[0]
+    # vectorized dependent gathers: each step is a random gather of the
+    # whole index vector through itself — latency/TLB-bound, not
+    # bandwidth-bound (every load is a cache miss at 256 MiB working set)
+    idx = np.arange(0, n, 4096, dtype=np.int64)  # 8k concurrent chains
+    chases = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        for _ in range(64):
+            idx = nxt[idx]
+        chases += 64 * len(idx)
+    q.put(chases / (time.time() - t0))
+
+
+def memlat_rate(procs: int, mb: int = 256, secs: float = 3.0) -> float:
+    """Aggregate random-access (pointer-chase) throughput at `procs`
+    concurrent processes, chases/s. Third ceiling for the roofline: hash
+    joins, sort runs and shuffle hash tables are LATENCY-bound random
+    access, which neither the cache-resident ALU burn nor the streaming
+    copy measures. On hosts where this curve collapses 8->32 while the
+    other two hold, the engine's 8->32 shortfall is memory-latency
+    contention."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_lat_worker, args=(q, mb, secs)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total
+
+
 def main() -> None:
     cold, warm = _touch_live(2)
     f1 = parallel_fault_rate(1)
