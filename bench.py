@@ -47,6 +47,7 @@ HEADLINE_QUERIES = [
     "multimodal_png_meta",
     "multimodal_jpeg_meta",
     "multimodal_wav_meta",
+    "multimodal_gif_meta",
     "contamination_ngram",
     "emb_drift_check",
     "sessionize_gap",

@@ -92,7 +92,7 @@ _SWEEP_FRONT = (
     "dedup_clusters_prod",
     "dedup_clusters",
     "contamination_ngram",
-    "multimodal_jpeg_meta",
+    "multimodal_gif_meta",
 )
 
 

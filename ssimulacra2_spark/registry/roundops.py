@@ -324,6 +324,113 @@ FROM documents
 """
 
 
+def _gif_synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit REAL GIF89a streams: header + Logical Screen Descriptor
+    (little-endian width/height, packed GCT bits), a Global Color Table
+    whose size the LSD's packed field declares, a Comment Extension whose
+    payload spans multiple length-prefixed sub-blocks (the GIF framing
+    the parser must walk), and the trailer."""
+    import struct
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            doc_id, w, h = int(doc_id), int(w), int(h)
+            gct_n = doc_id % 8  # packed size field: table holds 2^(n+1) colors
+            lsd = struct.pack("<HH", w, h) + bytes([0x80 | gct_n, 0, 0])
+            gct = bytes((doc_id + i) % 256 for i in range(3 * (1 << (gct_n + 1))))
+            comment = bytes(32 + (doc_id + i) % 64 for i in range(doc_id % 300))
+            sub = b""
+            for off in range(0, len(comment), 255):
+                chunk = comment[off : off + 255]
+                sub += bytes([len(chunk)]) + chunk
+            ext = b"\x21\xfe" + sub + b"\x00"
+            payloads.append(b"GIF89a" + lsd + gct + ext + b"\x3b")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _gif_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode the LSD straight from the bytes, skip the Global Color
+    Table using the packed size bits, walk the Comment Extension's
+    length-prefixed sub-blocks, and require the trailer — a wrong packed
+    field or sub-block length desyncs the walk and fails loudly."""
+    cols = ["doc_id", "width", "height", "gct_colors", "comment_len"]
+
+    def parse_one(blob: bytes) -> tuple[int, int, int, int]:
+        if blob[:6] != b"GIF89a":
+            raise ValueError("payload is not a GIF89a stream")
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        packed = blob[10]
+        if not packed & 0x80:
+            raise ValueError("expected a global color table")
+        colors = 1 << ((packed & 0x07) + 1)
+        off = 13 + 3 * colors
+        if blob[off : off + 2] != b"\x21\xfe":
+            raise ValueError("expected a comment extension after the GCT")
+        off += 2
+        clen = 0
+        while True:
+            if off >= len(blob):
+                raise ValueError("sub-block walk ran past end of stream")
+            n = blob[off]
+            off += 1
+            if n == 0:
+                break
+            clen += n
+            off += n
+        if blob[off : off + 1] != b"\x3b" or off + 1 != len(blob):
+            raise ValueError("missing trailer / trailing garbage")
+        return w, h, colors, clen
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=cols)
+            continue
+        parsed = [parse_one(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([p[0] for p in parsed], dtype="int32"),
+                "height": pd.Series([p[1] for p in parsed], dtype="int32"),
+                "gct_colors": pd.Series([p[2] for p in parsed], dtype="int32"),
+                "comment_len": pd.Series([p[3] for p in parsed], dtype="int32"),
+            }
+        )
+
+
+@(lambda fn: (QUERIES.__setitem__("multimodal_gif_meta", fn), fn)[1])
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free REAL GIF parse — the third binary framing family after
+    big-endian PNG/JPEG and RIFF/WAV: little-endian LSD fields, a
+    packed-bit-sized color table, and length-prefixed sub-block framing
+    (comments > 255 bytes span multiple sub-blocks, which the synthetic
+    corpus exercises since comment_len runs to 299). Two chained
+    mapInPandas projections, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    dims = docs.select(
+        "doc_id",
+        (nb % 1920 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 1080 + 1).cast("int").alias("height"),
+    )
+    blobs = dims.mapInPandas(_gif_synthesize, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        _gif_parse,
+        schema="doc_id long, width int, height int, gct_colors int, comment_len int",
+    )
+
+
+ORACLES["multimodal_gif_meta"] = """
+SELECT doc_id,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 1920 + 1 AS INT) AS width,
+  CAST(doc_id % 1080 + 1 AS INT) AS height,
+  CAST(POWER(2, doc_id % 8 + 1) AS INT) AS gct_colors,
+  CAST(doc_id % 300 AS INT) AS comment_len
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Bound-verified sketch variants (driver-checkable deterministic verdicts)
 # --------------------------------------------------------------------------

@@ -118,3 +118,40 @@ def test_binary_parsers_fail_loudly_on_corrupt_payloads():
     # truncated before the target chunk
     with pytest.raises(ValueError):
         run(_jpeg_parse, [jpeg[:6] + b"\xff\xd9"])
+
+
+def test_gif_parser_fails_loudly_on_corrupt_payloads():
+    """GIF framing: wrong signature, missing GCT flag, desynced sub-block
+    length, and trailing garbage all raise; a >255-byte comment must span
+    sub-blocks and round-trip its exact length."""
+    import pandas as pd
+    import pytest
+
+    from ssimulacra2_spark.registry.roundops import _gif_parse, _gif_synthesize
+
+    def run(payloads):
+        batch = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+        return list(_gif_parse(iter([batch])))
+
+    # valid round trip; doc_id 287 -> comment 287 bytes = 2 sub-blocks
+    dims = pd.DataFrame({"doc_id": [287], "width": [640], "height": [480]})
+    gif = list(_gif_synthesize(iter([dims])))[0]["payload"][0]
+    out = run([gif])[0]
+    assert (out.width[0], out.height[0], out.comment_len[0]) == (640, 480, 287)
+    assert out.gct_colors[0] == 1 << (287 % 8 + 1)
+
+    with pytest.raises(ValueError):  # signature
+        run([b"GIF87a" + gif[6:]])
+    bad = bytearray(gif)
+    bad[10] &= 0x7F  # GCT flag cleared but table still present
+    with pytest.raises(ValueError):
+        run([bytes(bad)])
+    # desync the SECOND sub-block's length byte (comment = 287 bytes =
+    # a full 255 sub-block + a 32 sub-block): the walk then consumes
+    # comment bytes as lengths and must fail loudly, not wrap silently
+    bad2 = bytearray(gif)
+    bad2[13 + 3 * (1 << (287 % 8 + 1)) + 2 + 1 + 255] = 5
+    with pytest.raises(ValueError):
+        run([bytes(bad2)])
+    with pytest.raises(ValueError):  # trailing garbage after trailer
+        run([gif + b"\x00"])
