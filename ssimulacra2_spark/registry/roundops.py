@@ -706,3 +706,137 @@ SELECT label, ROUND(cs, 6) AS cos_shift,
        (ROUND(cs, 6) < {_EMB_DRIFT_COS!r}) AS drifted
 FROM p
 """
+
+
+def _mp4_synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit REAL ISO-BMFF (MP4) streams: big-endian 32-bit box framing,
+    an ftyp box, an optional free box, and a moov container whose child
+    walk must skip a udta box before reaching mvhd — where the version
+    byte (0 or 1) switches the field widths (32- vs 64-bit times), the
+    framing subtlety this family adds over PNG/JPEG/WAV/GIF."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, timescale, duration in zip(
+            pdf["doc_id"], pdf["timescale"], pdf["duration"]
+        ):
+            doc_id, timescale, duration = int(doc_id), int(timescale), int(duration)
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", doc_id % 256) + b"iso2mp41")
+            version = doc_id % 2
+            if version:
+                body = (
+                    b"\x01\x00\x00\x00"
+                    + struct.pack(">QQIQ", 3_600_000_000 + doc_id, 3_600_000_001, timescale, duration)
+                )
+            else:
+                body = (
+                    b"\x00\x00\x00\x00"
+                    + struct.pack(">IIII", 3_600_000 + doc_id, 3_600_001, timescale, duration)
+                )
+            # trailing rate/volume/reserved fields a real mvhd carries
+            body += struct.pack(">IHH", 0x00010000, 0x0100, 0) + bytes(8)
+            udta = box(b"udta", box(b"meta", bytes((doc_id + i) % 256 for i in range(doc_id % 40))))
+            moov = box(b"moov", udta + box(b"mvhd", body))
+            parts = [ftyp]
+            if doc_id % 3 != 0:
+                parts.append(box(b"free", bytes(doc_id % 200)))
+            parts.append(moov)
+            payloads.append(b"".join(parts))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _mp4_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Walk top-level boxes by declared big-endian sizes, enter moov,
+    skip non-mvhd children by their sizes, then parse mvhd with
+    version-dependent widths. Any wrong size field desyncs the walk and
+    fails loudly (unknown type / overrun)."""
+    cols = ["doc_id", "mvhd_version", "timescale", "duration", "n_top_boxes"]
+
+    def walk(blob: bytes, start: int, end: int):
+        off = start
+        while off < end:
+            if off + 8 > end:
+                raise ValueError("truncated box header")
+            size = int.from_bytes(blob[off : off + 4], "big")
+            if size < 8 or off + size > end:
+                raise ValueError(f"bad box size {size} at {off}")
+            yield blob[off + 4 : off + 8], off + 8, off + size
+            off += size
+        if off != end:
+            raise ValueError("box walk overran its container")
+
+    def parse_one(blob: bytes) -> tuple[int, int, int, int]:
+        n_top, mvhd = 0, None
+        for btype, body_start, body_end in walk(blob, 0, len(blob)):
+            n_top += 1
+            if btype == b"moov":
+                for ctype, cstart, cend in walk(blob, body_start, body_end):
+                    if ctype == b"mvhd":
+                        mvhd = (cstart, cend)
+            elif btype not in (b"ftyp", b"free"):
+                raise ValueError(f"unexpected top-level box {btype!r}")
+        if mvhd is None:
+            raise ValueError("no mvhd box found")
+        s, e = mvhd
+        version = blob[s]
+        if version == 1:
+            timescale = int.from_bytes(blob[s + 20 : s + 24], "big")
+            duration = int.from_bytes(blob[s + 24 : s + 32], "big")
+        elif version == 0:
+            timescale = int.from_bytes(blob[s + 12 : s + 16], "big")
+            duration = int.from_bytes(blob[s + 16 : s + 20], "big")
+        else:
+            raise ValueError(f"unknown mvhd version {version}")
+        return version, timescale, duration, n_top
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=cols)
+            continue
+        parsed = [parse_one(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mvhd_version": pd.Series([p[0] for p in parsed], dtype="int32"),
+                "timescale": pd.Series([p[1] for p in parsed], dtype="int32"),
+                "duration": pd.Series([p[2] for p in parsed], dtype="int64"),
+                "n_top_boxes": pd.Series([p[3] for p in parsed], dtype="int32"),
+            }
+        )
+
+
+@(lambda fn: (QUERIES.__setitem__("multimodal_mp4_meta", fn), fn)[1])
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free REAL MP4 (ISO-BMFF) parse — the fourth binary framing
+    family: nested container boxes with big-endian 32-bit sizes and a
+    version byte that changes field widths mid-struct (mvhd v1 carries
+    64-bit times; the synthetic corpus exercises both versions and
+    64-bit durations above 2^32). Two chained mapInPandas projections,
+    zero shuffle; at 100 TB this is the metadata-extraction scan shape
+    (reference analog: the container probe before decode, video.rs:41-66)."""
+    docs = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    dims = docs.select(
+        "doc_id",
+        (nb % 48000 + 1000).cast("int").alias("timescale"),
+        (F.col("doc_id").cast("long") * 1001 + (F.col("doc_id") % 2) * F.lit(4294967296).cast("long")).alias("duration"),
+    )
+    blobs = dims.mapInPandas(_mp4_synthesize, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        _mp4_parse,
+        schema="doc_id long, mvhd_version int, timescale int, duration long, n_top_boxes int",
+    )
+
+
+ORACLES["multimodal_mp4_meta"] = """
+SELECT doc_id,
+  CAST(doc_id % 2 AS INT) AS mvhd_version,
+  CAST(octet_length(encode(COALESCE(text, ''))) % 48000 + 1000 AS INT) AS timescale,
+  CAST(doc_id AS BIGINT) * 1001 + CAST(doc_id % 2 AS BIGINT) * 4294967296 AS duration,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS INT) AS n_top_boxes
+FROM documents
+"""

@@ -214,3 +214,102 @@ QUERIES["doc_fingerprint_shingles"] = lambda spark, sf_dir: shared_sql(
 )
 QUERIES["doc_fingerprint_shingles"].__doc__ = _shingle_fp_sql.__doc__
 ORACLES["doc_fingerprint_shingles"] = _shingle_fp_sql("duck")
+
+
+@(lambda fn: (QUERIES.__setitem__("quality_repetition_rules", fn), fn)[1])
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    the share of tokens taken by the single most frequent token and the
+    fraction of 2-gram occurrences that are repeats of an already-seen
+    2-gram; docs above either threshold are flagged for drop.
+
+    Scale shape: explode -> two-level count aggregation on the uniform
+    (doc_id, gram) key, then a per-doc rollup — both map-side combinable,
+    so the plan is two linear shuffles regardless of corpus size (an
+    in-array O(tokens x distinct) rewrite would avoid the shuffle but
+    degrades quadratically on long documents; this one does not).
+    Reference analog: the per-frame error-map aggregation that flags
+    outlier frames, video.rs:484-495."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " +"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    tok_counts = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    tok_agg = tok_counts.groupBy("doc_id").agg(
+        F.max("count").alias("top_tok"), F.sum("count").alias("n_tokens")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) > 1 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                "   i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
+                "               element_at(toks, CAST(i + 1 AS INT))))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("gram"),
+    )
+    gram_counts = grams.groupBy("doc_id", "gram").count()
+    gram_agg = gram_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_grams"),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias(
+            "dup_grams"
+        ),
+    )
+    joined = tok_agg.join(gram_agg, "doc_id", "left")
+    top_share = F.col("top_tok").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.coalesce(F.col("dup_grams"), F.lit(0)).cast("double") / F.greatest(
+        F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)
+    ).cast("double")
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        r6(top_share).alias("top_token_share"),
+        r6(dup_frac).alias("dup_2gram_frac"),
+        ((top_share <= 0.20) & (dup_frac <= 0.60)).alias("keep_doc"),
+    )
+
+
+ORACLES["quality_repetition_rules"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') AS toks
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+  GROUP BY doc_id, tok
+),
+tok_agg AS (
+  SELECT doc_id, MAX(c) AS top_tok, SUM(c) AS n_tokens FROM tok_counts GROUP BY doc_id
+),
+gram_counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM base
+  )
+  GROUP BY doc_id, gram
+),
+gram_agg AS (
+  SELECT doc_id, SUM(c) AS n_grams,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(t.top_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6) AS top_token_share,
+  ROUND(CAST(COALESCE(g.dup_grams, 0) AS DOUBLE)
+        / CAST(GREATEST(COALESCE(g.n_grams, 0), 1) AS DOUBLE), 6) AS dup_2gram_frac,
+  (CAST(t.top_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.20
+    AND (CAST(COALESCE(g.dup_grams, 0) AS DOUBLE)
+         / CAST(GREATEST(COALESCE(g.n_grams, 0), 1) AS DOUBLE)) <= 0.60 AS keep_doc
+FROM tok_agg t LEFT JOIN gram_agg g ON g.doc_id = t.doc_id
+"""

@@ -155,3 +155,53 @@ def test_gif_parser_fails_loudly_on_corrupt_payloads():
         run([bytes(bad2)])
     with pytest.raises(ValueError):  # trailing garbage after trailer
         run([gif + b"\x00"])
+
+
+def test_mp4_parser_fails_loudly_on_corrupt_payloads():
+    """ISO-BMFF framing: a v1 mvhd round-trips a >2^32 duration through
+    the 64-bit path; a corrupted box size, a missing mvhd, an unknown
+    top-level box, and a truncated header all raise."""
+    import pandas as pd
+    import pytest
+
+    from ssimulacra2_spark.registry.roundops import _mp4_parse, _mp4_synthesize
+
+    def run(payloads):
+        batch = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+        return list(_mp4_parse(iter([batch])))
+
+    # doc_id 7 -> version 1 (64-bit fields), duration above 2^32
+    dims = pd.DataFrame(
+        {"doc_id": [7, 6], "timescale": [30000, 25000], "duration": [2**32 + 7007, 6006]}
+    )
+    blobs = list(_mp4_synthesize(iter([dims])))[0]["payload"]
+    out = run(list(blobs))[0]
+    assert (out.mvhd_version[0], out.timescale[0], out.duration[0]) == (1, 30000, 2**32 + 7007)
+    assert (out.mvhd_version[1], out.timescale[1], out.duration[1]) == (0, 25000, 6006)
+    assert out.n_top_boxes[0] == 3 and out.n_top_boxes[1] == 2  # 6 % 3 == 0: no free box
+
+    v1 = bytes(blobs[0])
+    bad = bytearray(v1)
+    bad[3] += 4  # ftyp declares 4 bytes more than it holds -> walk desyncs
+    with pytest.raises(ValueError):
+        run([bytes(bad)])
+    with pytest.raises(ValueError):  # unknown top-level box type
+        run([v1[:4] + b"zzzz" + v1[8:]])
+    with pytest.raises(ValueError):  # truncated mid-header
+        run([v1[:-5]])
+    # moov whose only child is udta (mvhd stripped): build via synthesize
+    # then splice moov to contain just the udta child
+    import struct
+
+    off = 0
+    moov_off = None
+    while off < len(v1):
+        size = int.from_bytes(v1[off : off + 4], "big")
+        if v1[off + 4 : off + 8] == b"moov":
+            moov_off = off
+        off += size
+    udta_size = int.from_bytes(v1[moov_off + 8 : moov_off + 12], "big")
+    udta = v1[moov_off + 8 : moov_off + 8 + udta_size]
+    no_mvhd = v1[:moov_off] + struct.pack(">I", 8 + len(udta)) + b"moov" + udta
+    with pytest.raises(ValueError):
+        run([no_mvhd])
