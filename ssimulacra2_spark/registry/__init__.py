@@ -25,10 +25,11 @@ full-oracle bound-verified companion in the same window:
 The remaining slots re-record queries whose code or oracle changed this
 round (emb_drift_check / stream_centroid_drift rounded-flag fix,
 iir_biquad_impulse_check float-coercion) plus the round-5 additions
-(star-CC, streaming alerting, GIF/MP4 parsers, repetition rules).
-Bumped to make room, each driver-green in CORRECTNESS_r04 and therefore
-still within the two-round freshness invariant: order_unique_fused,
-psi_ks_drift.
+(star-CC, streaming alerting, GIF/MP4 parsers, repetition rules,
+k-means refinement, two-stage PQ search). Bumped to make room, each
+driver-green in CORRECTNESS_r04 and therefore still within the
+two-round freshness invariant: order_unique_fused, psi_ks_drift,
+dedup_minhash_lsh_prod, dedup_clusters, contamination_ngram.
 """
 
 from __future__ import annotations
@@ -90,13 +91,13 @@ _SWEEP_FRONT = (
     "stream_centroid_drift",
     "stream_centroid_alert",
     "dedup_clusters_star",
-    "dedup_minhash_lsh_prod",
     "dedup_clusters_prod",
-    "dedup_clusters",
-    "contamination_ngram",
     "multimodal_gif_meta",
     "quality_repetition_rules",
     "multimodal_mp4_meta",
+    "kmeans_refine",
+    "ann_pq_topk",
+    "ann_pq_recall",
 )
 
 
@@ -108,6 +109,7 @@ def _collect() -> None:
         engineops,
         ivf,
         multimodal,
+        pq,
         roundops,
         similarity,
         textops,
@@ -119,6 +121,7 @@ def _collect() -> None:
         roundops,
         engineops,
         ivf,
+        pq,
         multimodal,
         drift,
         textops,

@@ -176,3 +176,82 @@ SELECT q_id, cell, c_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {_TOP_K}
 """
+
+
+def _kmeans_sql(dialect: str) -> str:
+    """One full Lloyd's k-means refinement round over the seeded IVF
+    centroids: assign -> per-(cell, dim) mean -> re-assign against the
+    refined centroids, reporting per-cell membership, how many vectors
+    moved, and the refined centroid norm.
+
+    Scale shape (the Spark plan this generates): the first assignment is
+    a pure projection (argmin over literal centroids); the centroid
+    update is a map-side-combinable AVG on the uniform (cell, dim) key —
+    8 x 64 = 512 output rows regardless of corpus size; the re-assign
+    joins the exploded vectors against that tiny table (AQE broadcasts
+    it) and reduces on (vec_id, cell). No driver-side iteration state,
+    no collect: exactly the per-iteration shape a 1000-executor KMeans
+    uses, here unrolled once so DuckDB can replay it as the oracle
+    (further rounds repeat the same two stages). Distances and means are
+    rounded through the EPS6/ROUND(6) parity machinery before ranking so
+    the argmin tie-breaks identically in both engines.
+    Reference analog: iterative per-frame refinement loop,
+    video.rs:484-495."""
+    lit = _lit_spark if dialect == "spark" else _lit_duck
+    if dialect == "spark":
+        ex1 = "SELECT cell, posexplode(embedding) AS (dim, val) FROM a1"
+        ex2 = "SELECT vec_id, posexplode(embedding) AS (dim, val) FROM embeddings"
+    else:
+        ex1 = (
+            "SELECT cell, generate_subscripts(embedding, 1) - 1 AS dim, "
+            "unnest(embedding) AS val FROM a1"
+        )
+        ex2 = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+            "unnest(embedding) AS val FROM embeddings"
+        )
+    return f"""
+WITH a1 AS (
+  SELECT vec_id, embedding, {_cell_expr("embedding", lit)} AS cell FROM embeddings
+),
+d1 AS (
+  SELECT cell, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS mu
+  FROM ({ex1}) ex GROUP BY cell, dim
+),
+ev AS ({ex2}),
+dist2 AS (
+  SELECT ev.vec_id, d1.cell,
+         ROUND(SUM((CAST(ev.val AS DOUBLE) - d1.mu)
+                   * (CAST(ev.val AS DOUBLE) - d1.mu)), 6) AS dist
+  FROM ev JOIN d1 ON d1.dim = ev.dim
+  GROUP BY ev.vec_id, d1.cell
+),
+a2 AS (
+  SELECT vec_id, cell AS cell2 FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM dist2
+  ) r WHERE rn = 1
+),
+moved AS (
+  SELECT a2.cell2 AS cell, COUNT(*) AS n_vecs,
+         SUM(CASE WHEN a1.cell <> a2.cell2 THEN 1 ELSE 0 END) AS n_moved
+  FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+  GROUP BY a2.cell2
+),
+norms AS (
+  SELECT cell, ROUND(SQRT(SUM(mu * mu)), 6) AS centroid_norm FROM d1 GROUP BY cell
+)
+SELECT m.cell, CAST(m.n_vecs AS BIGINT) AS n_vecs,
+       CAST(m.n_moved AS BIGINT) AS n_moved, n.centroid_norm
+FROM moved m JOIN norms n ON n.cell = m.cell
+"""
+
+
+from ._util import shared_sql as _shared_sql
+
+QUERIES["kmeans_refine"] = lambda spark, sf_dir: _shared_sql(
+    spark, sf_dir, _kmeans_sql("spark"), ["embeddings"]
+)
+QUERIES["kmeans_refine"].__doc__ = _kmeans_sql.__doc__
+ORACLES["kmeans_refine"] = _kmeans_sql("duck")
