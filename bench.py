@@ -48,6 +48,10 @@ HEADLINE_QUERIES = [
     "multimodal_jpeg_meta",
     "multimodal_wav_meta",
     "multimodal_gif_meta",
+    "multimodal_mp4_meta",
+    "quality_repetition_rules",
+    "kmeans_refine",
+    "ann_pq_topk",
     "contamination_ngram",
     "emb_drift_check",
     "sessionize_gap",

@@ -14,8 +14,10 @@ insertions changed). Round-5 rotation (per VERDICT r04 #6 and ADVICE):
 the 35 ids NOT in the r04 window are front-loaded so every id is
 driver-recorded within the last two rounds, INCLUDING the four
 deliberately oracle-less rows-only ids — an explicit `no_oracle` row in
-the artifact is honest signal, and each sits directly next to its
-full-oracle bound-verified companion in the same window:
+the artifact is honest signal. Each has a full-oracle bound-verified
+companion; the companions were driver-green in r04, so the three whose
+code is unchanged this round sit just outside the r05 window (their
+r04 rows keep them within the two-round freshness invariant):
 
     tdigest_quantiles   -> tdigest_rank_check      (empirical-rank bound)
     hll_tdigest_profile -> hll_error_check         (rel-error bound vs exact)
@@ -77,13 +79,15 @@ _SWEEP_FRONT = (
     "date_epoch_name",
     "format_fixed",
     "build_const_fold",
-    # -- rows-only ids, each adjacent to its bound-verified twin ------------
+    # -- rows-only ids (kept in-window per ADVICE: an explicit no_oracle
+    # row is honest signal). Their bound-verified twins tdigest_rank_check
+    # / hll_error_check / iir_impulse_check are driver-green in r04 and
+    # UNCHANGED this round, so they yield their window slots to the
+    # round-5b additions; iir_biquad_impulse_check changed (float
+    # coercion fix) and stays in-window.
     "tdigest_quantiles",
-    "tdigest_rank_check",
     "hll_tdigest_profile",
-    "hll_error_check",
     "iir_smooth",
-    "iir_impulse_check",
     "iir_smooth_biquad",
     "iir_biquad_impulse_check",
     # -- changed this round (rounded drift flags) + round-5 additions -------
@@ -98,6 +102,15 @@ _SWEEP_FRONT = (
     "kmeans_refine",
     "ann_pq_topk",
     "ann_pq_recall",
+    # -- round-5b pipeline ops (pipelineops.py); the remaining two new ids
+    # (stratified_sample, token_entropy) plus the three r04-driver-green
+    # unchanged bound-twins (tdigest_rank_check, hll_error_check,
+    # iir_impulse_check) sit just outside the 50-window — all five are
+    # pytest contract-subset pinned (test_contract_subset.py) and within
+    # the two-round driver-freshness invariant or judge-sweepable.
+    "tfidf_topk",
+    "winnowing_fingerprint",
+    "pack_sequences",
 )
 
 
@@ -109,6 +122,7 @@ def _collect() -> None:
         engineops,
         ivf,
         multimodal,
+        pipelineops,
         pq,
         roundops,
         similarity,
@@ -122,6 +136,7 @@ def _collect() -> None:
         engineops,
         ivf,
         pq,
+        pipelineops,
         multimodal,
         drift,
         textops,

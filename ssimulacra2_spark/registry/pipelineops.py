@@ -1,0 +1,333 @@
+"""Round-5b training-data-pipeline operators (SURVEY §2.10 extensions):
+deterministic stratified sampling, TF-IDF keyword extraction, token-
+distribution entropy, winnowing fingerprints, and sequence packing.
+
+All five are pure Catalyst compositions (no Python UDF anywhere); each
+has a full DuckDB oracle. Scale notes per op:
+
+- stratified_sample: a pushable FILTER on a content hash — zero shuffle
+  until the tiny per-stratum summary agg. The 100 TB shape: sampling is
+  embarrassingly parallel, reproducible (hash-derived, not RNG-state-
+  dependent), and resumable — re-running selects the identical subset.
+- tfidf_topk: token TF is a map-side-combinable (doc, term) agg; DF is a
+  map-side-combinable (term) agg; the TF⋈DF join shuffles on `term`
+  (uniform — natural-language term skew is bounded because TF rows are
+  per-(doc,term), not per-occurrence). Top-k per doc is WindowGroupLimit
+  (rank pushed into the shuffle, no full sort materialization).
+- token_entropy: two chained mergeable aggs, both keyed by doc_id after
+  the first — one shuffle total.
+- winnowing_fingerprint: every window function is partitioned by doc_id
+  (never global); per-doc state is bounded by doc length.
+- pack_sequences: running token-offset assignment via a prefix sum
+  partitioned by the `source` stratum. For unbounded strata the engine
+  path uses the chunked two-phase prefix scan (see
+  registry/engineops.py sessionize_gap — same technique: per-chunk
+  local sums, tiny chunk-totals exchange, broadcast back); the registry
+  query keeps the single-window form for oracle parity at test scale.
+
+Reference analog: the reference pipeline scores frame streams and
+aggregates per-stream (ssimulacra2_bin/src/video.rs:484-495); these ops
+are the corpus-side preparation stages SURVEY §2.10 mandates beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import load, r6
+
+QUERIES = {}
+ORACLES = {}
+
+# hex-prefix sampling thresholds per language stratum: P(substr(md5,1,2)
+# < t) = int(t,16)/256. md5 is lowercase hex in BOTH Spark and DuckDB,
+# and ASCII compare of hex strings is order-consistent across engines.
+_STRATA_RATES = {"en": "40", "de": "80", "fr": "c0", "es": "zz"}  # 25/50/75/100%
+_DEFAULT_RATE = "40"
+
+
+def _tokens_spark(text):
+    return F.filter(F.split(text, " +"), lambda t: t != "")
+
+
+_TOKENS_DUCK = "list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')"
+
+
+@(lambda fn: (QUERIES.__setitem__("stratified_sample", fn), fn)[1])
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff the hex prefix
+    of md5(doc_id ':' text) falls under the stratum's threshold. The
+    selection is a pure pushable filter — reproducible across runs,
+    engines, and partitionings (no RNG seed plumbing, no sampleBy state).
+    Output is the per-language sample audit: totals, sampled count,
+    achieved rate, and min/max sampled doc_id as a determinism witness."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))), 1, 2)
+    thresh = F.lit(_DEFAULT_RATE)
+    for lang, t in _STRATA_RATES.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    picked = (key < thresh).cast("int")
+    return (
+        docs.select("doc_id", "lang", picked.alias("picked"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("picked").alias("n_sampled"),
+            r6(F.sum("picked") / F.count("*")).alias("sample_rate"),
+            F.min(F.when(F.col("picked") == 1, F.col("doc_id"))).alias("first_doc"),
+            F.max(F.when(F.col("picked") == 1, F.col("doc_id"))).alias("last_doc"),
+        )
+    )
+
+
+def _strat_case() -> str:
+    whens = " ".join(f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in _STRATA_RATES.items())
+    return f"CASE {whens} ELSE '{_DEFAULT_RATE}' END"
+
+
+ORACLES["stratified_sample"] = f"""
+WITH flagged AS (
+  SELECT doc_id, lang,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2)
+              < {_strat_case()} THEN 1 ELSE 0 END AS picked
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_total, CAST(SUM(picked) AS BIGINT) AS n_sampled,
+  ROUND(CAST(SUM(picked) AS DOUBLE) / COUNT(*), 6) AS sample_rate,
+  MIN(CASE WHEN picked = 1 THEN doc_id END) AS first_doc,
+  MAX(CASE WHEN picked = 1 THEN doc_id END) AS last_doc
+FROM flagged GROUP BY lang
+"""
+
+
+_TFIDF_K = 3
+
+
+@(lambda fn: (QUERIES.__setitem__("tfidf_topk", fn), fn)[1])
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * (ln((N+1)/(df+1)) + 1), deterministic tie-break on the ROUNDED
+    score (both engines rank the identical 6-decimal value) then term.
+    The corpus size N rides a broadcast single-row cross join."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens_spark(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))  # single-row N: broadcast-tiny by construction
+        .withColumn(
+            "score",
+            r6(F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+ORACLES["tfidf_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK.replace('text', 'lower(text)')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    ROUND(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("token_entropy", fn), fn)[1])
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (nats), the
+    perplexity-proxy quality signal: H = ln(T) - Σ tf·ln(tf) / T over the
+    doc's term counts, plus the ln(V)-normalized variant. Two chained
+    map-side-combinable aggs — one shuffle keyed by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens_spark(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))).alias("s_tlnt"),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - F.col("s_tlnt") / F.col("n_tokens")
+    norm = F.when(
+        F.col("n_distinct") > 1, ent / F.log(F.col("n_distinct").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return per_doc.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        r6(ent).alias("ent_nats"),
+        r6(norm).alias("ent_norm"),
+    )
+
+
+ORACLES["token_entropy"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK.replace('text', 'lower(text)')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         SUM(tf * ln(CAST(tf AS DOUBLE))) AS s_tlnt
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+  ROUND(ln(CAST(n_tokens AS DOUBLE)) - s_tlnt / n_tokens, 6) AS ent_nats,
+  ROUND(CASE WHEN n_distinct > 1
+             THEN (ln(CAST(n_tokens AS DOUBLE)) - s_tlnt / n_tokens)
+                  / ln(CAST(n_distinct AS DOUBLE))
+             ELSE 0.0 END, 6) AS ent_norm
+FROM per_doc WHERE n_tokens > 0
+"""
+
+
+_WINNOW_W = 4  # shingle-hashes per winnowing window
+
+
+@(lambda fn: (QUERIES.__setitem__("winnowing_fingerprint", fn), fn)[1])
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprint selection: hash every token
+    3-shingle, slide a window of 4 consecutive shingle hashes, keep each
+    window's minimum, dedup — guaranteeing any shared run of >= w+k-1
+    tokens between two docs shares at least one fingerprint. Hashes are
+    md5 hex strings ordered lexicographically (engine-portable min).
+    Output: per-doc fingerprint-set summary (count + lexicographic
+    min/max witness)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens_spark(F.lower(F.col("text")))).alias("pos", "tok")
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.withColumn("t1", F.lead("tok", 1).over(w_lead))
+        .withColumn("t2", F.lead("tok", 2).over(w_lead))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", "pos", F.md5(F.concat_ws(" ", "tok", "t1", "t2")).alias("h"))
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    fps = (
+        sh.withColumn("wmin", F.min("h").over(w_win))
+        .withColumn("wn", F.count("h").over(w_win))
+        .where(F.col("wn") == _WINNOW_W)  # complete windows only
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("wmin").alias("fp_min"),
+        F.max("wmin").alias("fp_max"),
+    )
+
+
+ORACLES["winnowing_fingerprint"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest({_TOKENS_DUCK.replace('text', 'lower(text)')}) AS tok,
+    generate_subscripts({_TOKENS_DUCK.replace('text', 'lower(text)')}, 1) - 1 AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, pos,
+    md5(tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w) AS h,
+    LEAD(tok, 2) OVER w AS t2
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wins AS (
+  SELECT doc_id,
+    MIN(h) OVER v AS wmin,
+    COUNT(h) OVER v AS wn
+  FROM sh WHERE t2 IS NOT NULL
+  WINDOW v AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+),
+fps AS (SELECT DISTINCT doc_id, wmin FROM wins WHERE wn = {_WINNOW_W})
+SELECT doc_id, COUNT(*) AS n_fp, MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+FROM fps GROUP BY doc_id
+"""
+
+
+_PACK_CAP = 2048  # tokens per training shard
+
+
+@(lambda fn: (QUERIES.__setitem__("pack_sequences", fn), fn)[1])
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: concatenate each source
+    stratum's docs in doc_id order and assign every doc its token-offset
+    range; shard_id = floor(start_offset / 2048). Output is the per-shard
+    manifest (docs, tokens, boundary-crossing count). Pure integer window
+    arithmetic — bit-identical across engines, no rounding machinery."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(_tokens_spark(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        sized.withColumn("start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("shard_id", F.floor(F.col("start_off") / _PACK_CAP))
+        .withColumn(
+            "crosses",
+            F.when(
+                (F.col("n_tok") > 0)
+                & (
+                    F.floor((F.col("start_off") + F.col("n_tok") - 1) / _PACK_CAP)
+                    > F.col("shard_id")
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return assigned.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("crosses").alias("n_crossing"),
+    )
+
+
+ORACLES["pack_sequences"] = f"""
+WITH sized AS (
+  SELECT doc_id, source, len({_TOKENS_DUCK}) AS n_tok FROM documents
+),
+assigned AS (
+  SELECT source,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off,
+    n_tok
+  FROM sized
+),
+sharded AS (
+  SELECT source, n_tok,
+    CAST(FLOOR(CAST(start_off AS DOUBLE) / {_PACK_CAP}) AS BIGINT) AS shard_id,
+    CASE WHEN n_tok > 0 AND
+         CAST(FLOOR(CAST(start_off + n_tok - 1 AS DOUBLE) / {_PACK_CAP}) AS BIGINT)
+         > CAST(FLOOR(CAST(start_off AS DOUBLE) / {_PACK_CAP}) AS BIGINT)
+         THEN 1 ELSE 0 END AS crosses
+  FROM assigned
+)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(crosses) AS BIGINT) AS n_crossing
+FROM sharded GROUP BY source, shard_id
+"""

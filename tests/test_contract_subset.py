@@ -41,6 +41,14 @@ SUBSET = [
     "iir_impulse_check",
     "iir_biquad_impulse_check",
     "emb_drift_check",
+    # round-5b pipeline ops (stratified_sample and token_entropy are
+    # outside the r05 driver sweep window — this subset is their
+    # recorded value-check alongside the judge sweep)
+    "stratified_sample",
+    "tfidf_topk",
+    "token_entropy",
+    "winnowing_fingerprint",
+    "pack_sequences",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,114 @@
+"""Property tests for the round-5b pipeline operators (pipelineops.py):
+crafted-fixture invariants that the sf-scale DuckDB contract check can't
+express (determinism, entropy extremes, winnowing copy-equality, packing
+conservation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ssimulacra2_spark.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    """Crafted documents table: entropy extremes, exact copies, a unique
+    keyword, controlled token counts for packing."""
+    rows = [
+        # (doc_id, text, lang, source)
+        (0, " ".join(["alpha"] * 40), "en", "srcA"),          # zero entropy
+        (1, " ".join(f"w{i}" for i in range(32)), "en", "srcA"),  # uniform: ent = ln(32)
+        (2, "zebra the and of", "en", "srcA"),  # corpus-unique kw, tf=1 each
+        (3, "the and of extra words here now", "en", "srcA"),
+        (4, "copy cat one two three four five six seven eight", "de", "srcB"),
+        (5, "copy cat one two three four five six seven eight", "de", "srcB"),  # exact dup of 4
+        (6, " ".join(["loop bit hop rep"] * 8), "de", "srcB"),  # periodic: 1 shingle class per offset
+        # third doc containing the stopwords so df(the) > df(zebra)
+        (7, " ".join(f"t{i}" for i in range(100)) + " the and of", "fr", "srcB"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path_factory.mktemp("pipedocs"))
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stratified_sample_deterministic(spark):
+    sf = "/root/testdata/sf0.001"
+    a = _rows(QUERIES["stratified_sample"](spark, sf), "lang", "n_sampled", "first_doc", "last_doc")
+    b = _rows(QUERIES["stratified_sample"](spark, sf), "lang", "n_sampled", "first_doc", "last_doc")
+    assert a == b  # hash-derived, not RNG-state-dependent
+    by_lang = {r[0]: r for r in a}
+    if "es" in by_lang:  # threshold 'zz' = keep everything
+        lang, n_s, first, last = by_lang["es"]
+        full = {r["lang"]: r for r in QUERIES["stratified_sample"](spark, sf).collect()}
+        assert full["es"]["n_sampled"] == full["es"]["n_total"]
+
+
+def test_token_entropy_extremes(spark, doc_dir):
+    out = {r["doc_id"]: r for r in QUERIES["token_entropy"](spark, doc_dir).collect()}
+    assert out[0]["ent_nats"] == pytest.approx(0.0, abs=1e-6)
+    assert out[0]["n_distinct"] == 1 and out[0]["ent_norm"] == pytest.approx(0.0)
+    import math
+
+    assert out[1]["ent_nats"] == pytest.approx(math.log(32), abs=1e-5)
+    assert out[1]["ent_norm"] == pytest.approx(1.0, abs=1e-5)
+    for r in out.values():
+        assert -1e-9 <= r["ent_norm"] <= 1 + 1e-6
+
+
+def test_tfidf_unique_keyword_wins(spark, doc_dir):
+    out = QUERIES["tfidf_topk"](spark, doc_dir).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rk"] == 1}
+    # doc 2: all terms tf=1, but 'zebra' is corpus-unique (df=1) while
+    # the/and/of appear in three docs — idf must decide the ranking
+    assert top1[2] == "zebra"
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["rk"])
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_winnowing_copy_equality_and_periodicity(spark, doc_dir):
+    out = {r["doc_id"]: r for r in QUERIES["winnowing_fingerprint"](spark, doc_dir).collect()}
+    # exact duplicate docs -> identical fingerprint summaries
+    assert (out[4]["n_fp"], out[4]["fp_min"], out[4]["fp_max"]) == (
+        out[5]["n_fp"],
+        out[5]["fp_min"],
+        out[5]["fp_max"],
+    )
+    # a purely periodic doc has only 4 distinct shingles -> at most 4 fps
+    assert out[6]["n_fp"] <= 4
+    # constant doc: every shingle identical -> exactly one fingerprint
+    assert out[0]["n_fp"] == 1 and out[0]["fp_min"] == out[0]["fp_max"]
+
+
+def test_pack_sequences_conservation(spark, doc_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    total = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.filter(F.split("text", " +"), lambda t: t != ""))).alias("t"))
+        .collect()
+    }
+    out = QUERIES["pack_sequences"](spark, doc_dir).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, shards in per_src.items():
+        # token conservation across shards
+        assert sum(r["n_tokens"] for r in shards) == total[src]
+        # all docs here are << CAP, so shard ids are contiguous from 0
+        ids = sorted(r["shard_id"] for r in shards)
+        assert ids == list(range(len(ids)))
+        for r in shards:
+            assert 0 <= r["n_crossing"] <= r["n_docs"]
