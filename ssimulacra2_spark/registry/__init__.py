@@ -102,12 +102,12 @@ _SWEEP_FRONT = (
     "kmeans_refine",
     "ann_pq_topk",
     "ann_pq_recall",
-    # -- round-5b pipeline ops (pipelineops.py); the remaining two new ids
-    # (stratified_sample, token_entropy) plus the three r04-driver-green
-    # unchanged bound-twins (tdigest_rank_check, hll_error_check,
-    # iir_impulse_check) sit just outside the 50-window — all five are
-    # pytest contract-subset pinned (test_contract_subset.py) and within
-    # the two-round driver-freshness invariant or judge-sweepable.
+    # -- round-5b pipeline ops (pipelineops.py); the remaining new ids
+    # (stratified_sample, token_entropy, quality_gate, dedup_apply) plus
+    # the three r04-driver-green unchanged bound-twins (tdigest_rank_check,
+    # hll_error_check, iir_impulse_check) sit just outside the 50-window —
+    # all are pytest contract-subset pinned (test_contract_subset.py) and
+    # within the two-round driver-freshness invariant or judge-sweepable.
     "tfidf_topk",
     "winnowing_fingerprint",
     "pack_sequences",

@@ -331,3 +331,140 @@ SELECT source, shard_id, COUNT(*) AS n_docs,
        CAST(SUM(crosses) AS BIGINT) AS n_crossing
 FROM sharded GROUP BY source, shard_id
 """
+
+
+# --------------------------------------------------------------------------
+# End-to-end composites: the two queries a pipeline user actually ships
+# --------------------------------------------------------------------------
+
+# (bit, name) -> row-local predicate pair; a doc is kept iff every gate
+# passes. All five are single-scan projections (zero shuffle before the
+# per-doc output row), the Gopher-style row-local subset; the shuffle-
+# based repetition rules stay in quality_repetition_rules for unbounded
+# documents.
+_GATE_BITS = (
+    (1, "len"),        # enough content to train on
+    (2, "ws"),         # whitespace ratio sane
+    (4, "wordlen"),    # mean word length in the natural-language band
+    (8, "distinct"),   # in-array distinct-token fraction (bounded docs)
+)
+
+
+@(lambda fn: (QUERIES.__setitem__("quality_gate", fn), fn)[1])
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused quality gate: every row-local filter evaluated in ONE scan,
+    emitting keep/drop plus a reason bitmask (bit set = gate FAILED) so
+    downstream audits can attribute drops without re-running filters.
+    Gates: length (>=10 chars, >=3 tokens), whitespace ratio <= 0.35,
+    mean word length in [2, 12], distinct-token fraction >= 0.2. The
+    distinct-token gate is an in-array op — valid because docs are
+    length-bounded upstream; the unbounded-doc variant is the shuffle
+    pipeline in quality_repetition_rules."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = _tokens_spark(text)
+    n_chars = F.length(text)
+    n_tok = F.size(toks)
+    n_ws = F.length(text) - F.length(F.replace(text, F.lit(" ")))
+    ws_ratio = n_ws.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_wl = (n_chars - n_ws).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    distinct_frac = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    fails = {
+        "len": ~((n_chars >= 10) & (n_tok >= 3)),
+        "ws": ~(ws_ratio <= 0.35),
+        "wordlen": ~((mean_wl >= 2.0) & (mean_wl <= 12.0)),
+        "distinct": ~(distinct_frac >= 0.2),
+    }
+    mask = F.lit(0)
+    for bit, name in _GATE_BITS:
+        mask = mask + F.when(fails[name], F.lit(bit)).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        r6(ws_ratio).alias("ws_ratio"),
+        r6(mean_wl).alias("mean_word_len"),
+        r6(distinct_frac).alias("distinct_frac"),
+        mask.cast("int").alias("reason_mask"),
+        (mask == 0).alias("keep_doc"),
+    )
+
+
+ORACLES["quality_gate"] = """
+WITH g AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS n_tok,
+    length(text) - length(replace(text, ' ', '')) AS n_ws,
+    len(list_distinct(list_filter(regexp_split_to_array(text, ' +'), t -> t <> ''))) AS n_dist
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tok,
+    CAST(n_ws AS DOUBLE) / GREATEST(n_chars, 1) AS ws_ratio,
+    CAST(n_chars - n_ws AS DOUBLE) / GREATEST(n_tok, 1) AS mean_wl,
+    CAST(n_dist AS DOUBLE) / GREATEST(n_tok, 1) AS distinct_frac,
+    (CASE WHEN NOT (n_chars >= 10 AND n_tok >= 3) THEN 1 ELSE 0 END
+     + CASE WHEN NOT (CAST(n_ws AS DOUBLE) / GREATEST(n_chars, 1) <= 0.35) THEN 2 ELSE 0 END
+     + CASE WHEN NOT (CAST(n_chars - n_ws AS DOUBLE) / GREATEST(n_tok, 1) BETWEEN 2.0 AND 12.0) THEN 4 ELSE 0 END
+     + CASE WHEN NOT (CAST(n_dist AS DOUBLE) / GREATEST(n_tok, 1) >= 0.2) THEN 8 ELSE 0 END
+    ) AS reason_mask
+  FROM g
+)
+SELECT doc_id, n_tok AS n_tokens,
+  ROUND(ws_ratio, 6) AS ws_ratio,
+  ROUND(mean_wl, 6) AS mean_word_len,
+  ROUND(distinct_frac, 6) AS distinct_frac,
+  CAST(reason_mask AS INTEGER) AS reason_mask,
+  reason_mask = 0 AS keep_doc
+FROM m
+"""
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_apply", fn), fn)[1])
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: MinHash-LSH star edges -> star-CC
+    cluster labels -> LEFT ANTI join dropping every non-keeper (keeper =
+    min doc_id per component). This is the query a 100 TB dedup run
+    actually ships — clusters alone are diagnostics. Scale shape: the
+    text column never enters the CC iteration (labels carry only
+    (node, label) longs); the final anti-join shuffles on the uniform
+    doc_id key, and survivors stream straight from the corpus scan.
+    Oracle: the recursive-CTE component walk, NOT EXISTS non-keepers."""
+    from ..operators.cc import connected_components_star
+
+    from .dedup import _star_edges_ctes
+    from ._util import shared_sql
+
+    edges_sql = f"WITH {_star_edges_ctes('spark')} SELECT u, v FROM edges"
+    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    labels, _rounds = connected_components_star(edges)
+    non_keepers = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.join(non_keepers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _dedup_apply_oracle() -> str:
+    from .dedup import _star_edges_ctes
+
+    return f"""
+WITH RECURSIVE {_star_edges_ctes("duck")},
+walk(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+),
+non_keepers AS (
+  SELECT node FROM walk GROUP BY node HAVING node <> MIN(label)
+)
+SELECT doc_id, lang, source, n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM non_keepers nk WHERE nk.node = d.doc_id)
+"""
+
+
+ORACLES["dedup_apply"] = _dedup_apply_oracle()

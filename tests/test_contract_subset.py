@@ -49,6 +49,8 @@ SUBSET = [
     "token_entropy",
     "winnowing_fingerprint",
     "pack_sequences",
+    "quality_gate",
+    "dedup_apply",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

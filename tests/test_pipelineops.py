@@ -90,6 +90,30 @@ def test_winnowing_copy_equality_and_periodicity(spark, doc_dir):
     assert out[0]["n_fp"] == 1 and out[0]["fp_min"] == out[0]["fp_max"]
 
 
+def test_quality_gate_reason_bits(spark, doc_dir):
+    out = {r["doc_id"]: r for r in QUERIES["quality_gate"](spark, doc_dir).collect()}
+    # doc 0 = one token repeated 40x: distinct_frac = 1/40 -> bit 8 fails
+    assert out[0]["reason_mask"] & 8
+    assert not out[0]["keep_doc"]
+    # doc 7 = 100 unique tokens + stopwords: every gate passes
+    assert out[7]["reason_mask"] == 0 and out[7]["keep_doc"]
+    for r in out.values():
+        assert r["keep_doc"] == (r["reason_mask"] == 0)
+
+
+def test_dedup_apply_consistent_with_clusters(spark):
+    sf = "/root/testdata/sf0.001"
+    survivors = {r["doc_id"] for r in QUERIES["dedup_apply"](spark, sf).collect()}
+    labels = QUERIES["dedup_clusters_star"](spark, sf).collect()
+    clustered_keepers = {r["doc_id"] for r in labels if r["is_keeper"]}
+    clustered_all = {r["doc_id"] for r in labels}
+    from ssimulacra2_spark.registry._util import load
+
+    all_docs = {r["doc_id"] for r in load(spark, sf, "documents").select("doc_id").collect()}
+    # survivors = keepers of clustered docs + every unclustered doc
+    assert survivors == clustered_keepers | (all_docs - clustered_all)
+
+
 def test_pack_sequences_conservation(spark, doc_dir):
     from pyspark.sql import functions as F
 
