@@ -259,3 +259,28 @@ def test_bucketed_snapshot_survives_catalog_loss(spark, tmp_path):
     # and an unbucketed path still round-trips as plain parquet
     io.write_snapshot(df, str(tmp_path / "plainsnap"))
     assert io.read_snapshot(spark, str(tmp_path / "plainsnap")).count() == 5000
+
+
+def test_pipelineops_plan_shapes(spark, queries):
+    """Round-5b pipeline ops: pin the scale-load-bearing shapes.
+
+    - quality_gate is a single-scan projection: ANY exchange means the
+      fused gate gained a shuffle it must never have.
+    - tfidf_topk keeps the rank<=k pushdown (map-side partial top-k) and
+      broadcasts the single-row corpus-count side.
+    - winnowing_fingerprint / pack_sequences window only within doc_id /
+      source partitions: exactly one fact exchange each, and no global
+      (empty-partition-spec) window that would single-thread 10^12 rows.
+    """
+    import re
+
+    p = _plan(queries["quality_gate"](spark, SF))
+    assert "Exchange" not in p
+    p = _plan(queries["tfidf_topk"](spark, SF))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    for name in ("winnowing_fingerprint", "pack_sequences"):
+        p = _plan(queries[name](spark, SF))
+        n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
+        assert n_fact_exchanges == 1, (name, n_fact_exchanges)
+        assert "SinglePartition" not in p, name
