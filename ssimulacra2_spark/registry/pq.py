@@ -67,24 +67,45 @@ def _el(col: str, i: int, dialect: str) -> str:
     return f"element_at({col}, {i})" if dialect == "spark" else f"{col}[{i}]"
 
 
+def _cb_struct_lit(dialect: str) -> str:
+    """Codebook as ONE array-of-structs literal (c1, c2, precomputed
+    squared norm, index), bound once in a single-row CTE and referenced
+    by all 32 encode expressions."""
+    entries = []
+    for i, (c1, c2) in enumerate(PQ_CODEBOOK):
+        n = c1 * c1 + c2 * c2
+        if dialect == "spark":
+            entries.append(
+                f"named_struct('c1', {c1!r}D, 'c2', {c2!r}D, 'n', {n!r}D, 'i', {i})"
+            )
+        else:
+            entries.append(f"{{'c1': {c1!r}, 'c2': {c2!r}, 'n': {n!r}, 'i': {i}}}")
+    body = ", ".join(entries)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
 def _code_expr(col: str, m: int, dialect: str) -> str:
     """argmin over the shared codebook for subvector m by squared L2
     (||sub||^2 common term dropped), deterministic tie-break by code
-    index — same construction as ivf._cell_expr, on 2-dim dots."""
+    index: sort (dist, i) structs ascending, take [0].i — min distance,
+    then min index, exactly the first-match CASE semantics it replaces.
+    The struct-sort form keeps the generated expression ~30x smaller
+    than the expanded CASE/LEAST argmin, which Janino took ~17 s to
+    compile (measured scale-INDEPENDENT: same wall at sf0.001 and
+    sf0.01 — pure plan/codegen cost); this form compiles in <2 s."""
     x1 = _el(col, _SUB * m + 1, dialect)
     x2 = _el(col, _SUB * m + 2, dialect)
-    dists = []
-    for c1, c2v in PQ_CODEBOOK:
-        c2 = c1 * c1 + c2v * c2v
-        dists.append(
-            f"(({c2!r}) - 2.0 * (CAST({x1} AS DOUBLE) * ({c1!r})"
-            f" + CAST({x2} AS DOUBLE) * ({c2v!r})))"
+    two = "2.0D" if dialect == "spark" else "2.0"
+    d = (
+        f"s.n - {two} * (CAST({x1} AS DOUBLE) * s.c1"
+        f" + CAST({x2} AS DOUBLE) * s.c2)"
+    )
+    if dialect == "spark":
+        return (
+            "element_at(array_sort(transform(cbs,"
+            f" s -> named_struct('d', {d}, 'i', s.i))), 1).i"
         )
-    least = f"LEAST({', '.join(dists)})"
-    case = "CASE "
-    for k in range(_K):
-        case += f"WHEN {dists[k]} = {least} THEN {k} "
-    return case + "END"
+    return f"list_sort(list_transform(cbs, s -> {{'d': {d}, 'i': s.i}}))[1].i"
 
 
 def _cb_lit(dialect: str) -> str:
@@ -106,8 +127,11 @@ def _pq_common(dialect: str) -> str:
     else:
         recon = f"flatten(list_transform(codes, c -> ({_cb_lit(dialect)})[c + 1]))"
     return f"""
-WITH enc AS (
-  SELECT vec_id, {codes_arr} AS codes FROM embeddings
+WITH cb AS (
+  SELECT {_cb_struct_lit(dialect)} AS cbs
+),
+enc AS (
+  SELECT vec_id, {codes_arr} AS codes FROM embeddings CROSS JOIN cb
 ),
 recon AS (
   SELECT vec_id AS c_id, {recon} AS re FROM enc
