@@ -468,3 +468,145 @@ WHERE NOT EXISTS (SELECT 1 FROM non_keepers nk WHERE nk.node = d.doc_id)
 
 
 ORACLES["dedup_apply"] = _dedup_apply_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs historical corpus
+# --------------------------------------------------------------------------
+
+
+def _incremental_sql(dialect: str) -> str:
+    """Incremental (cross-snapshot) dedup — the daily-ingest shape: an
+    incoming batch is checked against the HISTORICAL corpus's LSH band
+    keys, not against itself. Here the split is doc_id parity (even =
+    historical, odd = incoming) so both engines see the identical
+    partition. Per incoming doc: how many of its bands hit a historical
+    bucket, and the dup verdict (>= 1 hit).
+
+    Scale shape: at 100 TB the historical side is a pre-computed compact
+    (band, bkey) index maintained incrementally at ingest — it never
+    re-derives signatures from text. The probe is a join on the uniform
+    (band, bkey) key with the (small) daily batch on the streaming side;
+    historical text is never read. Same generated SQL runs on both
+    engines (parity by construction)."""
+    from .dedup import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes(dialect)},
+hist AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 2 = 0),
+incoming AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 2 = 1),
+matched AS (
+  SELECT i.doc_id, CAST(COUNT(DISTINCT i.band) AS BIGINT) AS n_bands_hit
+  FROM incoming i JOIN hist h ON h.band = i.band AND h.bkey = i.bkey
+  GROUP BY i.doc_id
+),
+newdocs AS (SELECT DISTINCT doc_id FROM incoming)
+SELECT n.doc_id,
+       CAST(COALESCE(m.n_bands_hit, 0) AS BIGINT) AS n_bands_hit,
+       m.doc_id IS NOT NULL AS is_dup
+FROM newdocs n LEFT JOIN matched m ON m.doc_id = n.doc_id
+"""
+
+
+def _register_incremental() -> None:
+    from ._util import shared_sql as _ss
+
+    QUERIES["dedup_incremental"] = lambda spark, sf_dir: _ss(
+        spark, sf_dir, _incremental_sql("spark"), ["documents"]
+    )
+    QUERIES["dedup_incremental"].__doc__ = _incremental_sql.__doc__
+    ORACLES["dedup_incremental"] = _incremental_sql("duck")
+
+
+_register_incremental()
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding dim reduction)
+# --------------------------------------------------------------------------
+
+_RP_IN = 64
+_RP_OUT = 8
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Frozen Rademacher projection matrix: entries ±1/sqrt(k), seeded so
+    both engines embed the identical literals (the production analog
+    ships the trained/generated matrix as a build artifact)."""
+    import random
+
+    rng = random.Random(20250817)
+    s = 1.0 / (_RP_OUT ** 0.5)
+    return [
+        [s if rng.random() < 0.5 else -s for _ in range(_RP_IN)]
+        for _ in range(_RP_OUT)
+    ]
+
+
+_RP = _rp_matrix()
+
+
+def _rp_sql(dialect: str) -> str:
+    """Random-projection sketch of each embedding (64 -> 8 dims, JL
+    lemma: pairwise distances preserved within ~1/sqrt(k)) — the
+    standard cheap pre-filter stage ahead of exact reranking. Pure
+    projection: one fold per output dim, no shuffle, no UDF; distance
+    contraction is property-tested in pytest (test_pipelineops)."""
+    cols = []
+    for k in range(_RP_OUT):
+        if dialect == "spark":
+            lit = "array(" + ", ".join(f"{v!r}D" for v in _RP[k]) + ")"
+            dot = (
+                f"aggregate(zip_with(embedding, {lit},"
+                " (x, r) -> CAST(x AS DOUBLE) * r), 0D, (acc, v) -> acc + v)"
+            )
+        else:
+            lit = "[" + ", ".join(repr(v) for v in _RP[k]) + "]"
+            dot = (
+                f"list_sum([CAST(z[1] AS DOUBLE) * z[2]"
+                f" for z in list_zip(embedding, {lit})])"
+            )
+        cols.append(f"ROUND({dot}, 6) AS p{k}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+def _register_rp() -> None:
+    from ._util import shared_sql as _ss
+
+    QUERIES["emb_project_rp"] = lambda spark, sf_dir: _ss(
+        spark, sf_dir, _rp_sql("spark"), ["embeddings"]
+    )
+    QUERIES["emb_project_rp"].__doc__ = _rp_sql.__doc__
+    ORACLES["emb_project_rp"] = _rp_sql("duck")
+
+
+_register_rp()
+
+
+@(lambda fn: (QUERIES.__setitem__("text_normalize", fn), fn)[1])
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization ahead of hashing/dedup: lowercase,
+    strip every non-[a-z0-9 space] char, collapse whitespace runs, trim.
+    Emitted as the md5 of the normal form (the dedup key) plus raw and
+    normalized lengths — a pure single-scan projection; the regex
+    classes used are semantics-identical between Java regex and RE2."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, " +", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_raw"),
+        F.length(norm).alias("n_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+ORACLES["text_normalize"] = """
+WITH n AS (
+  SELECT doc_id, length(text) AS n_raw,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                        ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, n_raw, length(norm) AS n_norm, md5(norm) AS norm_md5 FROM n
+"""

@@ -51,6 +51,9 @@ SUBSET = [
     "pack_sequences",
     "quality_gate",
     "dedup_apply",
+    "dedup_incremental",
+    "emb_project_rp",
+    "text_normalize",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -114,6 +114,63 @@ def test_dedup_apply_consistent_with_clusters(spark):
     assert survivors == clustered_keepers | (all_docs - clustered_all)
 
 
+def test_emb_project_rp_distance_preservation(spark):
+    """JL property on the real fixture: projected pairwise squared
+    distances track the exact ones within the ~1/sqrt(k) band for most
+    pairs (loose gate — k=8 is aggressive compression)."""
+    sf = "/root/testdata/sf0.001"
+    import numpy as np
+
+    from ssimulacra2_spark.registry._util import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load(spark, sf, "embeddings").where("vec_id < 40").collect()
+    }
+    proj = {
+        r["vec_id"]: np.array([r[f"p{k}"] for k in range(8)])
+        for r in QUERIES["emb_project_rp"](spark, sf).where("vec_id < 40").collect()
+    }
+    ratios = []
+    ids = sorted(emb)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_true = float(np.sum((emb[a] - emb[b]) ** 2))
+        d_proj = float(np.sum((proj[a] - proj[b]) ** 2))
+        if d_true > 1e-12:
+            ratios.append(d_proj / d_true)
+    ratios = np.array(ratios)
+    # unbiased in expectation; the median must sit near 1 and most mass
+    # inside a wide JL band for k=8
+    assert 0.5 < float(np.median(ratios)) < 2.0
+    assert float(np.mean((ratios > 0.2) & (ratios < 5.0))) >= 0.8
+
+
+def test_text_normalize_idempotent_key(spark, doc_dir):
+    out1 = {r["doc_id"]: r["norm_md5"] for r in QUERIES["text_normalize"](spark, doc_dir).collect()}
+    # docs 4 and 5 are byte-identical -> identical normal-form keys
+    assert out1[4] == out1[5]
+    # deterministic across runs
+    out2 = {r["doc_id"]: r["norm_md5"] for r in QUERIES["text_normalize"](spark, doc_dir).collect()}
+    assert out1 == out2
+
+
+def test_dedup_incremental_flags_known_dups(spark):
+    """Every odd doc whose text exactly equals some even doc must be
+    flagged (identical text -> identical signature -> every band hits)."""
+    sf = "/root/testdata/sf0.001"
+    from ssimulacra2_spark.registry._util import load
+
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf, "documents").collect()}
+    hist_texts = {t for d, t in docs.items() if d % 2 == 0}
+    out = {r["doc_id"]: r for r in QUERIES["dedup_incremental"](spark, sf).collect()}
+    for d, t in docs.items():
+        if d % 2 == 1 and t in hist_texts:
+            assert out[d]["is_dup"], d
+    for r in out.values():
+        assert r["is_dup"] == (r["n_bands_hit"] > 0)
+
+
 def test_pack_sequences_conservation(spark, doc_dir):
     from pyspark.sql import functions as F
 
