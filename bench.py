@@ -62,6 +62,17 @@ HEADLINE_QUERIES = [
     "stream_tumbling_counts",
     "stream_centroid_drift",
     "stream_centroid_alert",
+    # round-5b pipeline ops
+    "stratified_sample",
+    "tfidf_topk",
+    "token_entropy",
+    "winnowing_fingerprint",
+    "pack_sequences",
+    "quality_gate",
+    "dedup_apply",
+    "dedup_incremental",
+    "emb_project_rp",
+    "text_normalize",
 ]
 
 
