@@ -73,6 +73,13 @@ HEADLINE_QUERIES = [
     "dedup_incremental",
     "emb_project_rp",
     "text_normalize",
+    # round-5c web-pipeline ops
+    "bloom_membership_guard",
+    "quality_quantile_filter",
+    "boilerplate_segments",
+    "dedup_semantic",
+    "domain_mix_sample",
+    "split_leakage_guard",
 ]
 
 

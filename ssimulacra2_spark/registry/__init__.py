@@ -103,8 +103,11 @@ _SWEEP_FRONT = (
     "ann_pq_topk",
     "ann_pq_recall",
     # -- round-5b pipeline ops (pipelineops.py); the remaining new ids
-    # (stratified_sample, token_entropy, quality_gate, dedup_apply) plus
-    # the three r04-driver-green unchanged bound-twins (tdigest_rank_check,
+    # (stratified_sample, token_entropy, quality_gate, dedup_apply), the
+    # round-5c web-pipeline ops (webops.py: bloom_membership_guard,
+    # quality_quantile_filter, boilerplate_segments, dedup_semantic,
+    # domain_mix_sample, split_leakage_guard), plus the three
+    # r04-driver-green unchanged bound-twins (tdigest_rank_check,
     # hll_error_check, iir_impulse_check) sit just outside the 50-window —
     # all are pytest contract-subset pinned (test_contract_subset.py) and
     # within the two-round driver-freshness invariant or judge-sweepable.
@@ -127,6 +130,7 @@ def _collect() -> None:
         roundops,
         similarity,
         textops,
+        webops,
         windows,
     )
     from ._util import with_eps6
@@ -137,6 +141,7 @@ def _collect() -> None:
         ivf,
         pq,
         pipelineops,
+        webops,
         multimodal,
         drift,
         textops,

@@ -1,0 +1,553 @@
+"""Round-5c web-pipeline operators: the remaining curation stages a
+100 TB training-data pipeline runs between raw crawl and tokenizer.
+
+Six ops, each with a full DuckDB oracle:
+
+- bloom_membership_guard — contamination check through a CONSTANT-SIZE
+  Bloom bitset (128 x 64-bit words) instead of broadcasting the full
+  benchmark n-gram set (contamination_ngram, roundops.py). At 100 TB the
+  benchmark shingle set can be GBs; the Bloom filter is a fixed ~1 KB
+  broadcast regardless of benchmark size, at the cost of an explicit
+  false-positive rate. Guaranteed no false negatives (pytest-pinned
+  against contamination_ngram's exact overlap).
+- quality_quantile_filter — per-language quality gate at a LEARNED
+  threshold (exact 25th percentile), the data-calibrated form of the
+  fixed-threshold quality_score gate (textops.py).
+- boilerplate_segments — C4-style cross-corpus segment dedup: fixed
+  8-token segments hashed and counted across ALL documents; segments in
+  >= 2 distinct docs are boilerplate (nav bars, license headers).
+- dedup_semantic — SemDeDup (Abbas et al. 2023): k-means-cell-bucketed
+  cosine near-dup detection. Pairs are only formed WITHIN a coarse
+  cluster — the clusters bound the candidate sets, never all-pairs.
+- domain_mix_sample — deterministic hash sampling to a target per-source
+  mixture (the "data mixing" stage of corpus assembly).
+- split_leakage_guard — train/test split by stable hash + MinHash-LSH
+  near-dup pairs that CROSS the split (eval-set leakage detection).
+
+All hash arithmetic is dialect-neutral (shared polynomial token hash /
+multiplicative doc-id hash) so DuckDB evaluates the identical pipeline.
+Reference analog: the reference validates each stage of its scoring
+pipeline against a second implementation (ssimulacra2 lib.rs tests);
+these ops extend that contract to the data-curation surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load, r6, shared_sql
+from .dedup import _minhash_ctes
+from .ivf import _cell_expr, _lit_duck, _lit_spark
+from .roundops import _BENCH_MOD, _BENCH_REM, _TOK_HASH
+
+QUERIES = {}
+ORACLES = {}
+
+# Dialect-neutral helpers -------------------------------------------------
+
+_DUCK_TOKPOS = """
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS token,
+         generate_subscripts(list_filter(regexp_split_to_array(text, ' +'), t -> t <> ''), 1) - 1 AS pos
+  FROM documents
+"""
+
+# Knuth-style multiplicative doc-id hash, pre-reduced mod 2^31-1 so the
+# product stays inside int64 even for 10^12-scale ids (the 100 TB case).
+def _dochash(b: int, m: int) -> str:
+    return f"((doc_id % 2147483647) * 2654435761 + {b}) % {m}"
+
+
+# --------------------------------------------------------------------------
+# 1. Bloom-filter membership guard
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 7680  # 128 words x 60 bits (60 keeps every mask positive in int64)
+_BLOOM_AB = ((2654435761, 1013904223), (2246822519, 374761393), (3266489917, 668265263))
+
+
+def _shingle_expr_spark() -> str:
+    th = _TOK_HASH.format(t="toks[i + {k}]")
+    return (
+        f"(CAST({th.format(k=0)} AS BIGINT) * 961"
+        f" + CAST({th.format(k=1)} AS BIGINT) * 31"
+        f" + CAST({th.format(k=2)} AS BIGINT)) % 2147483647"
+    )
+
+
+@(lambda fn: (QUERIES.__setitem__("bloom_membership_guard", fn), fn)[1])
+def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination through a constant-size Bloom bitset.
+
+    Scale shape: the benchmark's shingles are folded into a 128-row
+    (word, bits) table via a map-side-combinable bit_or — the filter's
+    size is FIXED by (M, k), independent of the benchmark corpus, so the
+    broadcast stays ~1 KB where contamination_ngram's exact set grows
+    with the benchmark. The candidate side is a pure projection (three
+    derived (word, mask) columns per shingle — no extra explode) plus
+    three broadcast joins; the corpus never shuffles on content until
+    the final uniform groupBy(doc_id). k=3 hashes, M=7680 bits."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' +'), t -> t <> '')").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(toks) - 3), i -> {_shingle_expr_spark()})")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+
+    entries = F.array(
+        *[
+            F.expr(
+                f"struct(((h * {a} + {b}) % {_BLOOM_M}) DIV 60 AS word, "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(((h * {a} + {b}) % {_BLOOM_M}) % 60 AS INT)) AS mask)"
+            )
+            for a, b in _BLOOM_AB
+        ]
+    )
+    bloom = (
+        sh.filter(is_bench)
+        .select(F.explode(entries).alias("e"))
+        .select("e.word", "e.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    cand = sh.filter(~is_bench)
+    for i, (a, b) in enumerate(_BLOOM_AB):
+        cand = cand.withColumn(
+            f"w{i}", F.expr(f"((h * {a} + {b}) % {_BLOOM_M}) DIV 60")
+        ).withColumn(
+            f"m{i}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(((h * {a} + {b}) % {_BLOOM_M}) % 60 AS INT))"),
+        )
+    for i in range(len(_BLOOM_AB)):
+        cand = cand.join(
+            F.broadcast(bloom.select(F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}"))),
+            f"w{i}",
+            "left",
+        )
+    hit = reduce(
+        lambda x, y: x & y,
+        [
+            F.coalesce(F.col(f"b{i}"), F.lit(0)).bitwiseAND(F.col(f"m{i}")) == F.col(f"m{i}")
+            for i in range(len(_BLOOM_AB))
+        ],
+    )
+    agg = (
+        cand.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit.cast("int")).cast("long").alias("n_bloom_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        (F.col("n_bloom_hits") * 2 >= F.col("n_shingles")).alias("maybe_contaminated"),
+    )
+
+
+def _bloom_oracle() -> str:
+    duck_th = _TOK_HASH.format(t="token")
+    bpos = "\nUNION ALL\n".join(
+        f"  SELECT ((h * {a} + {b}) % {_BLOOM_M}) AS p FROM bench" for a, b in _BLOOM_AB
+    )
+    wm = ", ".join(
+        f"((h * {a} + {b}) % {_BLOOM_M}) // 60 AS w{i}, "
+        f"(CAST(1 AS BIGINT) << CAST(((h * {a} + {b}) % {_BLOOM_M}) % 60 AS INT)) AS m{i}"
+        for i, (a, b) in enumerate(_BLOOM_AB)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN bloom g{i} ON g{i}.word = c.w{i}" for i in range(len(_BLOOM_AB))
+    )
+    present = " AND ".join(
+        f"(COALESCE(g{i}.bits, 0) & c.m{i}) = c.m{i}" for i in range(len(_BLOOM_AB))
+    )
+    return f"""
+WITH tok AS ({_DUCK_TOKPOS}),
+th AS (SELECT doc_id, pos, CAST({duck_th} AS BIGINT) AS h FROM tok),
+sh AS (
+  SELECT DISTINCT a.doc_id, (a.h * 961 + b.h * 31 + c.h) % 2147483647 AS h
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}),
+bpos AS (
+{bpos}
+),
+bloom AS (
+  SELECT p // 60 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS bits
+  FROM bpos GROUP BY p // 60
+),
+cand AS (
+  SELECT doc_id, h, {wm}
+  FROM sh WHERE doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+),
+j AS (
+  SELECT c.doc_id, CASE WHEN {present} THEN 1 ELSE 0 END AS hit
+  FROM cand c
+  {joins}
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_bloom_hits,
+       (n_bloom_hits * 2 >= n_shingles) AS maybe_contaminated
+FROM agg WHERE n_bloom_hits > 0
+"""
+
+
+ORACLES["bloom_membership_guard"] = _bloom_oracle()
+
+
+# --------------------------------------------------------------------------
+# 2. Per-language quantile quality gate
+# --------------------------------------------------------------------------
+
+_QSTOPS = ["the", "and", "of", "a", "to"]  # same markers as quality_score
+
+
+@(lambda fn: (QUERIES.__setitem__("quality_quantile_filter", fn), fn)[1])
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate at a per-language LEARNED threshold: keep documents
+    whose score clears that language's exact 25th percentile.
+
+    Scale shape: two passes — pass 1 is a tiny per-language aggregate
+    (one row per language; at 100 TB the exact percentile would be a
+    t-digest quantile, functions/tdigest.py — exact here so DuckDB's
+    quantile_cont verifies the full pipeline), broadcast back; pass 2 is
+    one scan + broadcast join + uniform groupBy(lang). No corpus-sized
+    shuffle. The percentile is computed from score doubles built by the
+    IDENTICAL expression in both engines, so threshold comparisons see
+    bit-identical operands."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_stop = None
+    for m in _QSTOPS:
+        sub = f" {m} "
+        term = (F.length(padded) - F.length(F.replace(padded, F.lit(sub)))) / len(sub)
+        n_stop = term if n_stop is None else n_stop + term
+    n_tok = F.size(F.filter(F.split(text, " +"), lambda t: t != ""))
+    score = n_stop / n_tok + F.length(text) / (n_tok * F.lit(10.0))
+    scored = docs.filter(n_tok > 0).select("doc_id", "lang", score.alias("score"))
+    thr = scored.groupBy("lang").agg(F.expr("percentile(score, 0.25)").alias("thr"))
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "thr")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("score") >= F.col("thr")).cast("int")).cast("long").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            r6("thr").alias("q25_threshold"),
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+def _qqf_oracle() -> str:
+    terms = " + ".join(
+        f"((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {m} ', ''))) / {len(m) + 2})"
+        for m in _QSTOPS
+    )
+    ntok = "len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> ''))"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         ({terms}) / {ntok} + length(text) / ({ntok} * 10.0) AS score
+  FROM documents WHERE {ntok} > 0
+),
+t AS (SELECT lang, quantile_cont(score, 0.25) AS thr FROM s GROUP BY lang)
+SELECT s.lang, ROUND(thr, 6) AS q25_threshold,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) - CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM s JOIN t ON t.lang = s.lang
+GROUP BY s.lang, thr
+"""
+
+
+ORACLES["quality_quantile_filter"] = _qqf_oracle()
+
+
+# --------------------------------------------------------------------------
+# 3. C4-style boilerplate segment dedup
+# --------------------------------------------------------------------------
+
+_SEG = 8  # tokens per segment
+_SEG_W = [31**k for k in range(_SEG)]  # positional weights, max 31^7 ~ 2.75e10
+# token hash reduced mod 100003 so seg hash = sum(th2 * w) stays < 2^63
+_TH2 = "((ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101) % 100003)"
+
+
+@(lambda fn: (QUERIES.__setitem__("boilerplate_segments", fn), fn)[1])
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment dedup (C4's line-dedup shape on newline-free
+    text): fixed 8-token segments, positional polynomial hash, global
+    distinct-doc count per segment; segments seen in >= 2 documents are
+    boilerplate and their tokens are dropped from the doc's kept count.
+
+    Scale shape: segmenting is a PURE PROJECTION (transform over
+    sequence + zip_with against a literal weight array — no token
+    explode, no self-join); the only shuffles are the global
+    groupBy(seg_hash) count (uniform 63-bit key) and the join back on
+    the same key — the canonical two-shuffle shape of C4 line dedup.
+    At 100 TB the count table is reusable across runs (it's the corpus
+    boilerplate dictionary)."""
+    docs = load(spark, sf_dir, "documents")
+    weights = "array(" + ", ".join(f"{w}L" for w in _SEG_W) + ")"
+    th2 = _TH2.format(t="t")
+    segexpr = (
+        f"transform(sequence(0, (size(toks) DIV {_SEG}) - 1), s -> "
+        f"aggregate(zip_with(slice(toks, s * {_SEG} + 1, {_SEG}), {weights}, "
+        f"(t, w) -> {th2} * w), 0L, (acc, v) -> acc + v))"
+    )
+    segs = (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' +'), t -> t <> '')").alias("toks")
+        )
+        .filter(F.size("toks") >= _SEG)
+        .select("doc_id", F.explode(F.expr(segexpr)).alias("h"))
+    )
+    cnt = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    boiler = F.sum((F.col("ndocs") >= 2).cast("int")).cast("long")
+    return (
+        segs.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_segments"), boiler.alias("n_boilerplate"))
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            ((F.col("n_segments") - F.col("n_boilerplate")) * _SEG).alias("tokens_kept"),
+        )
+    )
+
+
+def _boiler_oracle() -> str:
+    th2 = _TH2.format(t="token")
+    wcase = "CASE CAST(pos % 8 AS INT) " + " ".join(
+        f"WHEN {k} THEN {w}" for k, w in enumerate(_SEG_W)
+    ) + " END"
+    return f"""
+WITH tok AS ({_DUCK_TOKPOS}),
+seg AS (
+  SELECT doc_id, pos // {_SEG} AS s, CAST(SUM({th2} * ({wcase})) AS BIGINT) AS h
+  FROM tok GROUP BY doc_id, pos // {_SEG} HAVING COUNT(*) = {_SEG}
+),
+cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM seg GROUP BY h)
+SELECT seg.doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       (COUNT(*) - CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) * {_SEG} AS tokens_kept
+FROM seg JOIN cnt ON cnt.h = seg.h
+GROUP BY seg.doc_id
+"""
+
+
+ORACLES["boilerplate_segments"] = _boiler_oracle()
+
+
+# --------------------------------------------------------------------------
+# 4. SemDeDup: cluster-bucketed semantic dedup
+# --------------------------------------------------------------------------
+
+# Data-calibrated demo threshold: the synthetic embeddings are isotropic
+# gaussian (max pairwise cosine ~0.51 at sf0.01), so the "near-dup" bar sits
+# where real corpora would use ~0.95. The pipeline is threshold-agnostic.
+_SEM_TAU = 0.25
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_DOT_DUCK = "list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip({a}, {b})])"
+_NRM = "aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+_NRM_DUCK = "list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])"
+
+
+@(lambda fn: (QUERIES.__setitem__("dedup_semantic", fn), fn)[1])
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign embeddings
+    to coarse k-means cells (the IVF centroids, ivf.py), then detect
+    cosine near-dups only WITHIN a cell; a vector is dropped when a
+    lower-id same-cell vector sits above the threshold.
+
+    Scale shape: the cell assignment is a pure projection (argmin over
+    broadcast centroid literals); the pair join is equi-keyed on cell —
+    at 100 TB the table is bucketed by cell so the join is
+    co-partitioned, and the per-cell candidate sets bound the quadratic
+    term (n/k per cell vs n all-pairs). The drop decision uses the
+    ROUNDED cosine on both engines, so flag parity inherits the
+    rounding-parity machinery (ADVICE r04)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell = F.expr(_cell_expr("embedding", _lit_spark))
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    a = assigned.select(
+        F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"), F.col("cell").alias("cellb")
+    )
+    j = a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("ka") < F.col("kb")))
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    na = F.expr(_NRM.format(a="ea"))
+    nb = F.expr(_NRM.format(a="eb"))
+    cosr = r6(dot / (F.sqrt(na) * F.sqrt(nb)))
+    pairs = j.select("ka", "kb", "cell", cosr.alias("cos")).filter(
+        F.col("cos") >= _SEM_TAU
+    )
+    return pairs.groupBy(F.col("kb").alias("vec_dup"), "cell").agg(
+        F.min("ka").alias("keeper"), F.max("cos").alias("max_cosine")
+    )
+
+
+def _semdedup_oracle() -> str:
+    cell = _cell_expr("embedding", _lit_duck)
+    dot = _DOT_DUCK.format(a="x.embedding", b="y.embedding")
+    na = _NRM_DUCK.format(a="x.embedding")
+    nb = _NRM_DUCK.format(a="y.embedding")
+    return f"""
+WITH a AS (SELECT vec_id, embedding, ({cell}) AS cell FROM embeddings),
+p AS (
+  SELECT x.vec_id AS ka, y.vec_id AS kb, x.cell,
+         ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6) AS cos
+  FROM a x JOIN a y ON y.cell = x.cell AND x.vec_id < y.vec_id
+)
+SELECT kb AS vec_dup, cell, MIN(ka) AS keeper, MAX(cos) AS max_cosine
+FROM p WHERE cos >= {_SEM_TAU!r}
+GROUP BY kb, cell
+"""
+
+
+ORACLES["dedup_semantic"] = _semdedup_oracle()
+
+
+# --------------------------------------------------------------------------
+# 5. Deterministic domain-mixture sampling
+# --------------------------------------------------------------------------
+
+_MIX_HMOD = 1000003
+
+
+@(lambda fn: (QUERIES.__setitem__("domain_mix_sample", fn), fn)[1])
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: sample each source at a rate that steers the corpus
+    toward a target per-source mixture (target weight 1 + src_num % 4,
+    normalized), with a DETERMINISTIC per-document hash so the sample is
+    reproducible and join-stable across runs — the property random()
+    sampling loses.
+
+    Scale shape: pass 1 is a per-source count (tiny: one row per
+    source); rates derive from that table joined against its own 1-row
+    total (broadcast x broadcast); pass 2 is one corpus scan + broadcast
+    rate join + uniform groupBy(source). The doc hash pre-reduces
+    doc_id mod 2^31-1 so the multiplicative hash never overflows int64
+    at 10^12-row scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = 1 + F.expr("CAST(substring(source, 4) AS INT)") % 4
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs")).withColumn(
+        "w", w.cast("double")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") / F.col("w_total")) * F.col("n_total") / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    u = F.expr(f"({_dochash(1013904223, _MIX_HMOD)}) / {float(_MIX_HMOD)!r}")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "n_docs", "rate", (u < F.col("rate")).cast("int").alias("keep"))
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.sum("keep").cast("long").alias("n_kept"))
+    )
+    return kept.select(
+        "source", "n_docs", "n_kept", r6("rate").alias("sample_rate")
+    )
+
+
+def _mix_oracle() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(1 + CAST(substr(source, 4) AS INT) % 4 AS DOUBLE) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS w_total FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(1.0, (w / w_total) * n_total / n_docs) AS rate
+  FROM counts, tot
+)
+SELECT d.source, r.n_docs,
+       CAST(SUM(CASE WHEN ({_dochash(1013904223, _MIX_HMOD)}) / {float(_MIX_HMOD)!r} < r.rate
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(r.rate, 6) AS sample_rate
+FROM documents d JOIN rates r ON r.source = d.source
+GROUP BY d.source, r.n_docs, r.rate
+"""
+
+
+ORACLES["domain_mix_sample"] = _mix_oracle()
+
+
+# --------------------------------------------------------------------------
+# 6. Train/test split leakage guard
+# --------------------------------------------------------------------------
+
+
+def _leakage_sql(dialect: str) -> str:
+    """Near-dup pairs (MinHash-LSH candidates, dedup.py pipeline) that
+    cross a deterministic 10% train/test split — the eval-leakage scan a
+    pipeline runs before publishing a held-out set. Generated as ONE SQL
+    string for both engines (shared_sql pattern), so Spark/DuckDB parity
+    is true by construction.
+
+    Scale shape: inherits the LSH shape (uniform (band, bkey) self-join,
+    never all-pairs); the split labels are a pure projection joined onto
+    the pair table by doc_id (uniform key)."""
+    return f"""
+WITH {_minhash_ctes(dialect)},
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ({_dochash(374761393, 10)}) = 0 THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN spl sa ON sa.doc_id = p.doc_a
+JOIN spl sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+"""
+
+
+QUERIES["split_leakage_guard"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _leakage_sql("spark"), ["documents"]
+)
+QUERIES["split_leakage_guard"].__doc__ = _leakage_sql.__doc__
+ORACLES["split_leakage_guard"] = _leakage_sql("duck")

@@ -54,6 +54,15 @@ SUBSET = [
     "dedup_incremental",
     "emb_project_rp",
     "text_normalize",
+    # round-5c web-pipeline ops (webops.py) — outside the r05 driver
+    # sweep window; this subset is their recorded value-check alongside
+    # the judge sweep
+    "bloom_membership_guard",
+    "quality_quantile_filter",
+    "boilerplate_segments",
+    "dedup_semantic",
+    "domain_mix_sample",
+    "split_leakage_guard",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -284,3 +284,30 @@ def test_pipelineops_plan_shapes(spark, queries):
         n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
         assert n_fact_exchanges == 1, (name, n_fact_exchanges)
         assert "SinglePartition" not in p, name
+
+
+def test_webops_plan_shapes(spark, queries):
+    """Round-5c web-pipeline ops: pin the scale-load-bearing shapes.
+
+    - bloom_membership_guard: the corpus side must meet the 128-row Bloom
+      bitset through BROADCAST joins only — a SortMergeJoin here means
+      the 100 TB corpus shuffles against a ~1 KB filter.
+    - quality_quantile_filter / domain_mix_sample: the learned-threshold /
+      rate tables are tiny per-group aggregates and must come back
+      broadcast; the corpus never shuffles on content.
+    - dedup_semantic: the pair join must stay equi-keyed on cell — any
+      nested-loop/cartesian node means all-pairs is back.
+    - boilerplate_segments: the segment count keeps a map-side partial
+      phase before its exchange.
+    """
+    p = _plan(queries["bloom_membership_guard"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for name in ("quality_quantile_filter", "domain_mix_sample"):
+        p = _plan(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+    p = _plan(queries["dedup_semantic"](spark, SF))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    p = _plan(queries["boilerplate_segments"](spark, SF))
+    assert "partial_" in p
