@@ -54,21 +54,36 @@ def _lit_duck(vec: list[float]) -> str:
 def _cell_expr(col: str, lit) -> str:
     """argmin over centroids by squared L2 distance, deterministic
     tie-break by centroid index (distances computed identically in both
-    engines — same literals, same fold order)."""
-    dot = _DOT if lit is _lit_spark else _DOT_DUCK
-    dists = []
+    engines — same literals, same fold order).
+
+    Struct-sort form (the round-5b PQ argmin lesson, pq.py:_code_expr):
+    the centroid table is ONE array-of-structs literal and the argmin is
+    sort-(d, i)-take-first — the earlier LEAST+CASE form duplicated each
+    64-term distance ~3x (once under LEAST, twice per CASE arm), and
+    Janino took ~13 s to compile it per session, measured
+    scale-independent (ARCHITECTURE §7b). Identical assignment
+    semantics: min distance, then min index."""
+    spark_side = lit is _lit_spark
+    entries = []
     for i, cvec in enumerate(CENTROIDS):
         # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2 ; ||x||^2 common -> drop
         c2 = sum(v * v for v in cvec)
-        dists.append(f"(({c2!r}) - 2.0 * {dot.format(a=col, b=lit(cvec))})")
-    arr = ", ".join(dists)
-    # index of minimum: compare each to the running LEAST
-    least = f"LEAST({arr})"
-    case = "CASE "
-    for i in range(_N_CELLS):
-        case += f"WHEN {dists[i]} = {least} THEN {i} "
-    case += "END"
-    return case
+        if spark_side:
+            entries.append(
+                f"named_struct('v', {_lit_spark(cvec)}, 'n', {c2!r}D, 'i', {i})"
+            )
+        else:
+            entries.append(f"{{'v': {_lit_duck(cvec)}, 'n': {c2!r}, 'i': {i}}}")
+    if spark_side:
+        cents = "array(" + ", ".join(entries) + ")"
+        d = f"s.n - 2.0D * {_DOT.format(a=col, b='s.v')}"
+        return (
+            f"element_at(array_sort(transform({cents},"
+            f" s -> named_struct('d', {d}, 'i', s.i))), 1).i"
+        )
+    cents = "[" + ", ".join(entries) + "]"
+    d = f"s.n - 2.0 * {_DOT_DUCK.format(a=col, b='s.v')}"
+    return f"list_sort(list_transform({cents}, s -> {{'d': {d}, 'i': s.i}}))[1].i"
 
 
 @(lambda fn: (QUERIES.__setitem__("ann_ivf_topk", fn), fn)[1])

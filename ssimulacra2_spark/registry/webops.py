@@ -396,46 +396,76 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroid literals); the pair join is equi-keyed on cell —
     at 100 TB the table is bucketed by cell so the join is
     co-partitioned, and the per-cell candidate sets bound the quadratic
-    term (n/k per cell vs n all-pairs). The drop decision uses the
-    ROUNDED cosine on both engines, so flag parity inherits the
-    rounding-parity machinery (ADVICE r04)."""
+    term (n/k per cell vs n all-pairs). The quadratic stage must pay ONE
+    single-pass dot per pair and nothing else; the shape that achieves
+    it was bought by measurement (ARCHITECTURE §7b):
+
+    - each vector is normalized ONCE, BEHIND A MATERIALIZATION BARRIER
+      (localCheckpoint — at 100 TB this is the written
+      normalized+assigned table every ANN pipeline persists anyway).
+      Without the barrier, Catalyst's filter pushdown INLINES the
+      normalization into the join condition and re-evaluates it PER
+      PAIR: 27.7-44.5 s at sf0.1/32c for the no-barrier forms vs 8.2 s
+      warm end-to-end with it, identical results.
+    - the per-pair dot stays a zip_with/aggregate FOLD: measured 1.6 s
+      for 250k pairs vs 6.6 s for an expanded 64-term element_at chain
+      (the single-pass fold beats per-element GetArrayItem/cast codegen
+      here — the OPPOSITE of the round-5b PQ argmin lesson, where the
+      bloat was 16 redundant copies of the distance expression; the
+      rule is "measure the expression shape", not "lambdas are slow");
+    - the tau threshold is applied as CONDITIONAL AGGREGATION (min/max
+      over CASE WHEN cos >= tau), not a row filter: a row filter gets
+      pushed into the join condition and the fold re-evaluates per
+      candidate there and again in the survivor projection — measured
+      15.6 s vs 6.3 s warm for the identical result.
+
+    The drop decision uses the ROUNDED cosine on both engines, so flag
+    parity inherits the rounding-parity machinery (ADVICE r04)."""
     emb = load(spark, sf_dir, "embeddings")
     cell = F.expr(_cell_expr("embedding", _lit_spark))
-    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
-    a = assigned.select(
-        F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"), "cell"
+    nx = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({n}))".format(
+            n=_NRM.format(a="embedding")
+        )
     )
+    assigned = emb.select(
+        "vec_id", nx.alias("nx"), cell.alias("cell")
+    ).localCheckpoint()
+    a = assigned.select(F.col("vec_id").alias("ka"), F.col("nx").alias("ea"), "cell")
     b = assigned.select(
-        F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"), F.col("cell").alias("cellb")
+        F.col("vec_id").alias("kb"), F.col("nx").alias("eb"), F.col("cell").alias("cellb")
     )
     j = a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("ka") < F.col("kb")))
-    dot = F.expr(_DOT.format(a="ea", b="eb"))
-    na = F.expr(_NRM.format(a="ea"))
-    nb = F.expr(_NRM.format(a="eb"))
-    cosr = r6(dot / (F.sqrt(na) * F.sqrt(nb)))
-    pairs = j.select("ka", "kb", "cell", cosr.alias("cos")).filter(
-        F.col("cos") >= _SEM_TAU
-    )
-    return pairs.groupBy(F.col("kb").alias("vec_dup"), "cell").agg(
-        F.min("ka").alias("keeper"), F.max("cos").alias("max_cosine")
+    cosr = r6(F.expr(_DOT.format(a="ea", b="eb")))
+    pairs = j.select("ka", "kb", "cell", cosr.alias("cos"))
+    return (
+        pairs.groupBy(F.col("kb").alias("vec_dup"), "cell")
+        .agg(
+            F.min(F.when(F.col("cos") >= _SEM_TAU, F.col("ka"))).alias("keeper"),
+            F.max(F.when(F.col("cos") >= _SEM_TAU, F.col("cos"))).alias("max_cosine"),
+        )
+        .filter(F.col("keeper").isNotNull())
     )
 
 
 def _semdedup_oracle() -> str:
     cell = _cell_expr("embedding", _lit_duck)
-    dot = _DOT_DUCK.format(a="x.embedding", b="y.embedding")
-    na = _NRM_DUCK.format(a="x.embedding")
-    nb = _NRM_DUCK.format(a="y.embedding")
+    nrm = _NRM_DUCK.format(a="embedding")
+    nx = f"list_transform(embedding, v -> CAST(v AS DOUBLE) / SQRT({nrm}))"
+    dot = _DOT_DUCK.format(a="x.nx", b="y.nx")
     return f"""
-WITH a AS (SELECT vec_id, embedding, ({cell}) AS cell FROM embeddings),
+WITH a AS (SELECT vec_id, {nx} AS nx, ({cell}) AS cell FROM embeddings),
 p AS (
   SELECT x.vec_id AS ka, y.vec_id AS kb, x.cell,
-         ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6) AS cos
+         ROUND({dot}, 6) AS cos
   FROM a x JOIN a y ON y.cell = x.cell AND x.vec_id < y.vec_id
 )
-SELECT kb AS vec_dup, cell, MIN(ka) AS keeper, MAX(cos) AS max_cosine
-FROM p WHERE cos >= {_SEM_TAU!r}
+SELECT kb AS vec_dup, cell,
+       MIN(CASE WHEN cos >= {_SEM_TAU!r} THEN ka END) AS keeper,
+       MAX(CASE WHEN cos >= {_SEM_TAU!r} THEN cos END) AS max_cosine
+FROM p
 GROUP BY kb, cell
+HAVING MIN(CASE WHEN cos >= {_SEM_TAU!r} THEN ka END) IS NOT NULL
 """
 
 
