@@ -80,6 +80,9 @@ HEADLINE_QUERIES = [
     "dedup_semantic",
     "domain_mix_sample",
     "split_leakage_guard",
+    "perplexity_proxy",
+    "ft_hash_classifier",
+    "corpus_rollup",
 ]
 
 

@@ -106,7 +106,8 @@ _SWEEP_FRONT = (
     # (stratified_sample, token_entropy, quality_gate, dedup_apply), the
     # round-5c web-pipeline ops (webops.py: bloom_membership_guard,
     # quality_quantile_filter, boilerplate_segments, dedup_semantic,
-    # domain_mix_sample, split_leakage_guard), plus the three
+    # domain_mix_sample, split_leakage_guard, perplexity_proxy,
+    # ft_hash_classifier, corpus_rollup), plus the three
     # r04-driver-green unchanged bound-twins (tdigest_rank_check,
     # hll_error_check, iir_impulse_check) sit just outside the 50-window —
     # all are pytest contract-subset pinned (test_contract_subset.py) and

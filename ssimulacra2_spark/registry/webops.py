@@ -581,3 +581,212 @@ QUERIES["split_leakage_guard"] = lambda spark, sf_dir: shared_sql(
 )
 QUERIES["split_leakage_guard"].__doc__ = _leakage_sql.__doc__
 ORACLES["split_leakage_guard"] = _leakage_sql("duck")
+
+
+# --------------------------------------------------------------------------
+# 7. CCNet-style bigram-LM perplexity proxy
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("perplexity_proxy", fn), fn)[1])
+def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filter (the CCNet recipe, Wenzek et al. 2020):
+    train an add-1-smoothed bigram LM on the train split, score every
+    document by its mean log-probability — low scores mark
+    out-of-distribution text.
+
+    Scale shape: bigram extraction is a PURE PROJECTION (transform over
+    sequence — no token self-join); the LM tables are tiny (|V|^2 and
+    |V| rows) built by uniform-key map-side-combinable counts and
+    BROADCAST back, so scoring is one corpus scan + broadcast lookups +
+    a uniform groupBy(doc_id). At web scale the LM side would be
+    hash-pruned to the top-k contexts; the plan shape is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    big = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' +'), t -> t <> '')").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS t1, toks[i + 1] AS t2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.t1", "b.t2")
+    )
+    is_test = F.expr(f"({_dochash(374761393, 10)}) = 0")
+    train = big.filter(~is_test)
+    c2 = train.groupBy("t1", "t2").agg(F.count("*").alias("n2"))
+    c1 = train.groupBy("t1").agg(F.count("*").alias("n1"))
+    v = c1.agg(F.count("*").cast("double").alias("v"))
+    scored = (
+        big.join(F.broadcast(c2), ["t1", "t2"], "left")
+        .join(F.broadcast(c1), "t1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), r6(F.avg("logp")).alias("avg_logp")
+    )
+
+
+def _ppl_oracle() -> str:
+    return f"""
+WITH tok AS ({_DUCK_TOKPOS}),
+big AS (
+  SELECT a.doc_id, a.token AS t1, b.token AS t2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+train AS (SELECT * FROM big WHERE ({_dochash(374761393, 10)}) <> 0),
+c2 AS (SELECT t1, t2, COUNT(*) AS n2 FROM train GROUP BY t1, t2),
+c1 AS (SELECT t1, COUNT(*) AS n1 FROM train GROUP BY t1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1)
+SELECT big.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(CAST(COALESCE(n2, 0) + 1 AS DOUBLE)
+                    / (COALESCE(n1, 0) + v.v))), 6) AS avg_logp
+FROM big
+LEFT JOIN c2 ON c2.t1 = big.t1 AND c2.t2 = big.t2
+LEFT JOIN c1 ON c1.t1 = big.t1
+CROSS JOIN v
+GROUP BY big.doc_id
+"""
+
+
+ORACLES["perplexity_proxy"] = _ppl_oracle()
+
+
+# --------------------------------------------------------------------------
+# 8. fastText-style hashed linear classifier (inference as a projection)
+# --------------------------------------------------------------------------
+
+_FT_D = 256
+_FT_GAIN = 10.0
+
+
+def _ft_weights() -> list[float]:
+    """Frozen seeded weight table (a trained model would be broadcast;
+    frozen literals let DuckDB evaluate the identical inference)."""
+    import random
+
+    rng = random.Random(20260817)
+    return [round(rng.uniform(-0.5, 0.5), 6) for _ in range(_FT_D)]
+
+
+_FT_W = _ft_weights()
+
+
+def _ft_sql(dialect: str) -> str:
+    """fastText-shape text classifier (Joulin et al. 2017): hashed
+    unigram + bigram features, mean of the feature-bucket weights
+    through a sigmoid. INFERENCE IS A PURE PROJECTION — the weight
+    table rides inside the expression (broadcast of the model at
+    scale), so classification runs scan-parallel with ZERO shuffles and
+    no per-row Python. The label comes from the ROUNDED score on both
+    engines (rounding-parity rule)."""
+    spark_side = dialect == "spark"
+    w = (
+        "array(" + ", ".join(f"{x!r}D" for x in _FT_W) + ")"
+        if spark_side
+        else "[" + ", ".join(repr(x) for x in _FT_W) + "]"
+    )
+    tokf = (
+        "filter(split(text, ' +'), t -> t <> '')"
+        if spark_side
+        else "list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')"
+    )
+    el = (lambda c, i: f"{c}[{i}]") if spark_side else (lambda c, i: f"{c}[{i} + 1]")
+    th = "(ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+    uni_h = f"({th.format(t='t')} % {_FT_D})"
+    big_h = (
+        f"((CAST({th.format(t=el('toks', 'i'))} AS BIGINT) * 31"
+        f" + {th.format(t=el('toks', 'i + 1'))}) % {_FT_D})"
+    )
+    if spark_side:
+        uni = f"aggregate(toks, 0D, (acc, t) -> acc + element_at(w, {uni_h} + 1))"
+        bigr = (
+            f"aggregate(transform(sequence(0, n_tok - 2),"
+            f" i -> element_at(w, CAST({big_h} AS INT) + 1)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+    else:
+        uni = f"list_sum([w[{uni_h} + 1] for t in toks])"
+        bigr = f"list_sum(list_transform(range(0, n_tok - 1), i -> w[{big_h} + 1]))"
+    return f"""
+WITH wt AS (SELECT {w} AS w),
+d AS (
+  SELECT doc_id, toks, {'size(toks)' if spark_side else 'len(toks)'} AS n_tok
+  FROM (SELECT doc_id, {tokf} AS toks FROM documents) t0
+  WHERE {'size(toks)' if spark_side else 'len(toks)'} >= 2
+),
+s AS (
+  SELECT doc_id, n_tok,
+         (({uni}) + ({bigr})) / (2 * n_tok - 1) AS raw
+  FROM d CROSS JOIN wt
+)
+SELECT doc_id, CAST(2 * n_tok - 1 AS BIGINT) AS n_features,
+       ROUND(1.0 / (1.0 + exp(-{_FT_GAIN!r} * raw)), 6) AS score,
+       (ROUND(1.0 / (1.0 + exp(-{_FT_GAIN!r} * raw)), 6) >= 0.5) AS pred
+FROM s
+"""
+
+
+QUERIES["ft_hash_classifier"] = lambda spark, sf_dir: shared_sql(
+    spark, sf_dir, _ft_sql("spark"), ["documents"]
+)
+QUERIES["ft_hash_classifier"].__doc__ = _ft_sql.__doc__
+ORACLES["ft_hash_classifier"] = _ft_sql("duck")
+
+
+# --------------------------------------------------------------------------
+# 9. Corpus data-card rollup
+# --------------------------------------------------------------------------
+
+
+@(lambda fn: (QUERIES.__setitem__("corpus_rollup", fn), fn)[1])
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup: per-(source, lang), per-source, and corpus-total
+    document/token/char statistics in ONE pass via ROLLUP grouping sets
+    — the summary table every released dataset ships.
+
+    Scale shape: Spark plans rollup as Expand (3 rows per input row
+    here) + one uniform-key hash aggregation with a map-side partial
+    phase — still a single scan, no join, no window. NULL group markers
+    are the cross-engine rollup convention and compare cleanly in the
+    driver's hash (both engines emit SQL NULL)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " +"), lambda t: t != ""))
+    base = docs.select("source", "lang", n_tok.alias("n_tok"), F.length("text").alias("n_ch"))
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            r6(F.avg("n_ch")).alias("avg_chars"),
+        )
+    )
+
+
+ORACLES["corpus_rollup"] = """
+WITH base AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS n_tok,
+         length(text) AS n_ch
+  FROM documents
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(AVG(n_ch), 6) AS avg_chars
+FROM base
+GROUP BY ROLLUP(source, lang)
+"""

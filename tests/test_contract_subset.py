@@ -63,6 +63,9 @@ SUBSET = [
     "dedup_semantic",
     "domain_mix_sample",
     "split_leakage_guard",
+    "perplexity_proxy",
+    "ft_hash_classifier",
+    "corpus_rollup",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -311,3 +311,18 @@ def test_webops_plan_shapes(spark, queries):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     p = _plan(queries["boilerplate_segments"](spark, SF))
     assert "partial_" in p
+
+
+def test_webops_round5c_batch2_plan_shapes(spark, queries):
+    """perplexity_proxy meets its tiny LM tables by broadcast only;
+    ft_hash_classifier is inference-as-projection — ZERO exchanges;
+    corpus_rollup keeps Expand + a map-side partial phase."""
+    p = _plan(queries["perplexity_proxy"](spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    p = _plan(queries["ft_hash_classifier"](spark, SF))
+    # the single-row weight table arrives by broadcast (the "broadcast
+    # the model" shape); the corpus itself must never shuffle
+    assert "Exchange hashpartitioning" not in p
+    p = _plan(queries["corpus_rollup"](spark, SF))
+    assert "Expand" in p and "partial_" in p

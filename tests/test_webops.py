@@ -132,3 +132,47 @@ def test_quality_quantile_filter_threshold_is_quartile(spark, queries):
         # by definition of a 25th percentile, at most ~25% can fall below
         assert r["n_dropped"] <= r["n_total"] * 0.25 + 1
         assert r["n_kept"] >= r["n_total"] * 0.5
+
+
+def test_perplexity_proxy_properties(spark, queries):
+    """Every log-prob is negative (probabilities < 1), n_bigrams matches
+    token count - 1, and a doc of frequent bigrams outscores the corpus
+    minimum (the LM orders documents, which is all the filter needs)."""
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r for r in queries["perplexity_proxy"](spark, SF).collect()}
+    assert out
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("n_tok"),
+    )
+    ntok = {r["doc_id"]: r["n_tok"] for r in docs.collect()}
+    for doc_id, r in out.items():
+        assert r["n_bigrams"] == ntok[doc_id] - 1
+        assert r["avg_logp"] < 0.0
+    scores = [r["avg_logp"] for r in out.values()]
+    assert max(scores) > min(scores)  # the LM actually discriminates
+
+
+def test_ft_hash_classifier_is_projection_scored(spark, queries):
+    out = queries["ft_hash_classifier"](spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0.0 < r["score"] < 1.0
+        assert r["pred"] == (r["score"] >= 0.5)
+    # frozen weights -> deterministic re-run
+    again = {r["doc_id"]: r["score"] for r in queries["ft_hash_classifier"](spark, SF).collect()}
+    for r in out:
+        assert again[r["doc_id"]] == r["score"]
+
+
+def test_corpus_rollup_totals_are_consistent(spark, queries):
+    rows = queries["corpus_rollup"](spark, SF).collect()
+    total = [r for r in rows if r["source"] is None and r["lang"] is None]
+    per_source = [r for r in rows if r["source"] is not None and r["lang"] is None]
+    leaves = [r for r in rows if r["source"] is not None and r["lang"] is not None]
+    assert len(total) == 1
+    assert total[0]["n_docs"] == sum(r["n_docs"] for r in per_source) == sum(
+        r["n_docs"] for r in leaves
+    )
+    assert total[0]["n_tokens"] == sum(r["n_tokens"] for r in per_source)
