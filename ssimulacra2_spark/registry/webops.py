@@ -1,7 +1,7 @@
 """Round-5c web-pipeline operators: the remaining curation stages a
 100 TB training-data pipeline runs between raw crawl and tokenizer.
 
-Six ops, each with a full DuckDB oracle:
+Nine ops, each with a full DuckDB oracle:
 
 - bloom_membership_guard — contamination check through a CONSTANT-SIZE
   Bloom bitset (128 x 64-bit words) instead of broadcasting the full
@@ -23,6 +23,12 @@ Six ops, each with a full DuckDB oracle:
   mixture (the "data mixing" stage of corpus assembly).
 - split_leakage_guard — train/test split by stable hash + MinHash-LSH
   near-dup pairs that CROSS the split (eval-set leakage detection).
+- perplexity_proxy — CCNet-style LM quality filter (Wenzek et al. 2020):
+  add-1-smoothed bigram LM trained on the train split, mean log-prob
+  per document.
+- ft_hash_classifier — fastText-shape hashed linear classifier (Joulin
+  et al. 2017); inference is a zero-shuffle pure projection.
+- corpus_rollup — data-card statistics via ROLLUP grouping sets.
 
 All hash arithmetic is dialect-neutral (shared polynomial token hash /
 multiplicative doc-id hash) so DuckDB evaluates the identical pipeline.
