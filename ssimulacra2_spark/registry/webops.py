@@ -84,20 +84,15 @@ def _shingle_expr_spark() -> str:
     )
 
 
-@(lambda fn: (QUERIES.__setitem__("bloom_membership_guard", fn), fn)[1])
-def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark contamination through a constant-size Bloom bitset.
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): per-document DISTINCT token 3-shingle hashes.
 
-    Scale shape: the benchmark's shingles are folded into a 128-row
-    (word, bits) table via a map-side-combinable bit_or — the filter's
-    size is FIXED by (M, k), independent of the benchmark corpus, so the
-    broadcast stays ~1 KB where contamination_ngram's exact set grows
-    with the benchmark. The candidate side is a pure projection (three
-    derived (word, mask) columns per shingle — no extra explode) plus
-    three broadcast joins; the corpus never shuffles on content until
-    the final uniform groupBy(doc_id). k=3 hashes, M=7680 bits."""
-    docs = load(spark, sf_dir, "documents")
-    sh = (
+    The per-doc dedup is array_distinct INSIDE the projection — a global
+    .distinct() here would shuffle the whole corpus on (doc_id, h);
+    row-local dedup is equivalent (h is scoped to one doc) and keeps the
+    pipeline STATELESS, which is what lets the identical chain run on a
+    document STREAM (streaming/validate_stream.py::bloom_probe_stream)."""
+    return (
         docs.select(
             "doc_id",
             F.expr("filter(split(text, ' +'), t -> t <> '')").alias("toks"),
@@ -106,13 +101,18 @@ def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"transform(sequence(0, size(toks) - 3), i -> {_shingle_expr_spark()})")
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks) - 3),"
+                    f" i -> {_shingle_expr_spark()}))"
+                )
             ).alias("h"),
         )
-        .distinct()
     )
-    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
 
+
+def build_bloom(sh: DataFrame) -> DataFrame:
+    """Fold shingle hashes into the 128-row (word, bits) Bloom bitset via
+    a map-side-combinable bit_or — fixed size regardless of input."""
     entries = F.array(
         *[
             F.expr(
@@ -122,15 +122,19 @@ def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in _BLOOM_AB
         ]
     )
-    bloom = (
-        sh.filter(is_bench)
-        .select(F.explode(entries).alias("e"))
+    return (
+        sh.select(F.explode(entries).alias("e"))
         .select("e.word", "e.mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
 
-    cand = sh.filter(~is_bench)
+
+def probe_bloom(cand: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Per-shingle membership probe: derive (word, mask) columns for the
+    k hash functions (no extra explode) and meet the bitset through
+    three BROADCAST left joins; appends boolean `hit`. Stateless — works
+    identically on a batch corpus and as a stream-static join."""
     for i, (a, b) in enumerate(_BLOOM_AB):
         cand = cand.withColumn(
             f"w{i}", F.expr(f"((h * {a} + {b}) % {_BLOOM_M}) DIV 60")
@@ -151,11 +155,35 @@ def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BLOOM_AB))
         ],
     )
+    return cand.withColumn("hit", hit)
+
+
+@(lambda fn: (QUERIES.__setitem__("bloom_membership_guard", fn), fn)[1])
+def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination through a constant-size Bloom bitset.
+
+    Scale shape: the benchmark's shingles are folded into a 128-row
+    (word, bits) table via a map-side-combinable bit_or — the filter's
+    size is FIXED by (M, k), independent of the benchmark corpus, so the
+    broadcast stays ~1 KB where contamination_ngram's exact set grows
+    with the benchmark. The candidate side is a pure STATELESS
+    projection (row-local array_distinct shingle dedup — no corpus
+    shuffle on content — plus three derived (word, mask) columns per
+    shingle) met by three broadcast joins; the only corpus shuffle is
+    the final uniform groupBy(doc_id). k=3 hashes, M=7680 bits. The
+    probe chain also runs unchanged on a document stream as a
+    stream-static join (validate_stream.py::bloom_probe_stream,
+    stream == batch pinned in test_streaming.py)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bloom = build_bloom(sh.filter(is_bench))
+    probed = probe_bloom(sh.filter(~is_bench), bloom)
     agg = (
-        cand.groupBy("doc_id")
+        probed.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum(hit.cast("int")).cast("long").alias("n_bloom_hits"),
+            F.sum(F.col("hit").cast("int")).cast("long").alias("n_bloom_hits"),
         )
         .filter(F.col("n_bloom_hits") > 0)
     )

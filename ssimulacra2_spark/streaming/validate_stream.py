@@ -297,6 +297,32 @@ def monotone_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+DOCUMENTS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def read_document_stream(spark: SparkSession, in_dir: str, max_files: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+
+def bloom_probe_stream(stream_docs: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Streaming contamination admission: every incoming document's
+    shingles are probed against a BATCH-BUILT Bloom bitset via a
+    STREAM-STATIC broadcast join — the Structured Streaming enrichment
+    pattern (stream joins a static dimension; no state, append-safe).
+    Emits per-shingle (doc_id, h, hit) rows; the per-doc rollup happens
+    downstream in batch (enrich-then-rollup, the production split that
+    keeps the streaming stage stateless). The probe chain is the SAME
+    code the batch guard runs (registry/webops.py: shingle_rows +
+    probe_bloom) — stream == batch pinned in test_streaming.py."""
+    from ssimulacra2_spark.registry.webops import probe_bloom, shingle_rows
+
+    return probe_bloom(shingle_rows(stream_docs), bloom).select("doc_id", "h", "hit")
+
+
 def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
     """Drain everything currently in the source, then stop (the test/bench
     driver for the streaming path)."""

@@ -278,3 +278,65 @@ def test_centroid_alert_stream_matches_batch(spark, synth_tables, tmp_path):
         assert key in exp, key
         assert abs(exp[key][0] - val[0]) < 1e-9 and exp[key][1] == val[1], (key, val, exp[key])
     assert len(got_map) >= 0.7 * len(exp), (len(got_map), len(exp))
+
+
+def test_bloom_probe_stream_matches_batch_guard(spark, tmp_path):
+    """The streaming contamination probe (stream-static broadcast join
+    against the batch-built Bloom bitset) must produce, after the batch
+    per-doc rollup, EXACTLY the batch bloom_membership_guard output."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ssimulacra2_spark.registry.webops import (
+        _BENCH_MOD,
+        _BENCH_REM,
+        build_bloom,
+        shingle_rows,
+    )
+    from ssimulacra2_spark.streaming.validate_stream import (
+        bloom_probe_stream,
+        read_document_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # split the corpus into two files so availableNow runs >1 micro-batch
+    in_dir = str(tmp_path / "docs_in")
+    half = docs.count() // 2
+    pdf = docs.toPandas().sort_values("doc_id")
+    import os
+
+    os.makedirs(in_dir)
+    pdf.iloc[:half].to_parquet(f"{in_dir}/part1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(f"{in_dir}/part2.parquet", index=False)
+
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bloom = build_bloom(shingle_rows(docs.filter(is_bench)))
+
+    stream = read_document_stream(spark, in_dir).filter(~is_bench)
+    out = str(tmp_path / "probe_out")
+    from ssimulacra2_spark.streaming.validate_stream import run_available_now
+
+    run_available_now(bloom_probe_stream(stream, bloom), out, str(tmp_path / "ckpt"))
+
+    rolled = {
+        r["doc_id"]: r
+        for r in (
+            spark.read.parquet(out)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_shingles"),
+                F.sum(F.col("hit").cast("int")).cast("long").alias("n_bloom_hits"),
+            )
+            .filter(F.col("n_bloom_hits") > 0)
+            .collect()
+        )
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in entrymod.queries()["bloom_membership_guard"](spark, sf).collect()
+    }
+    assert rolled.keys() == batch.keys()
+    for doc_id, r in batch.items():
+        assert rolled[doc_id]["n_shingles"] == r["n_shingles"], doc_id
+        assert rolled[doc_id]["n_bloom_hits"] == r["n_bloom_hits"], doc_id
