@@ -47,7 +47,12 @@ _AB, _ROWS_PER_BAND = minhash_params()
 # Dialect-neutral token hash: cheap, deterministic, SQL-expressible in both
 # engines. (At scale the engine would use xxhash64; the checked demo needs a
 # function BOTH engines share.)
-_TOKHASH = "(ascii(token) * 1000003 + length(token) * 10007 + ascii(reverse(token)) * 101)"
+# Leading CAST: codepoint * 1000003 must not overflow int32 on non-Latin-1
+# tokens (Spark ANSI; see tests/test_hash_parity.py)
+_TOKHASH = (
+    "(CAST(ascii(token) AS BIGINT) * 1000003"
+    " + length(token) * 10007 + ascii(reverse(token)) * 101)"
+)
 
 
 def _tokens_sql(table: str = "documents") -> str:
@@ -97,8 +102,12 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 
 
 def _minhash_sig_exprs(ab) -> list[str]:
+    # th is reduced mod P before the permutation multiply so a * th stays
+    # inside int64 for full-Unicode token hashes (a < P ~ 2^31, th % P <
+    # 2^31 -> product < 2^62); a no-op for any hash already below P, i.e.
+    # all ASCII tokens (tests/test_hash_parity.py pins the Unicode path)
     return [
-        f"MIN(({a} * th + {b}) % {_P}) AS sig{i}"
+        f"MIN(({a} * (th % {_P}) + {b}) % {_P}) AS sig{i}"
         for i, (a, b) in enumerate(ab)
     ]
 

@@ -30,7 +30,14 @@ ORACLES = {}
 
 # dialect-neutral token hash (same formula as textops._shingle_fp_sql so
 # both engines agree without relying on engine-specific hash functions)
-_TOK_HASH = "(ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+# The leading CAST keeps the hash inside int64 for the full Unicode range:
+# ascii() returns the first CODEPOINT in both engines (up to 0x10FFFF), and
+# codepoint * 1000003 overflows int32 under Spark ANSI for any non-Latin-1
+# token (found by the cross-engine hash fuzz, tests/test_hash_parity.py).
+_TOK_HASH = (
+    "(CAST(ascii({t}) AS BIGINT) * 1000003"
+    " + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+)
 _BENCH_MOD, _BENCH_REM = 19, 3  # documents with doc_id % 19 == 3 form the benchmark set
 
 

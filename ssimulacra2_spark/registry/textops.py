@@ -183,7 +183,10 @@ def _shingle_fp_sql(dialect: str) -> str:
     the content-defined variant of doc_fingerprint (which samples fixed
     character positions): token insertions shift positions but leave most
     shingles — and usually the min shingle — intact."""
-    th = "(ascii(tok) * 1000003 + length(tok) * 10007 + ascii(reverse(tok)) * 101)"
+    th = (
+        "(CAST(ascii(tok) AS BIGINT) * 1000003"
+        " + length(tok) * 10007 + ascii(reverse(tok)) * 101)"
+    )
     if dialect == "spark":
         toks = (
             "SELECT doc_id, posexplode(filter(split(text, ' +'), t -> t <> ''))"

@@ -331,7 +331,10 @@ ORACLES["quality_quantile_filter"] = _qqf_oracle()
 _SEG = 8  # tokens per segment
 _SEG_W = [31**k for k in range(_SEG)]  # positional weights, max 31^7 ~ 2.75e10
 # token hash reduced mod 100003 so seg hash = sum(th2 * w) stays < 2^63
-_TH2 = "((ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101) % 100003)"
+_TH2 = (
+    "((CAST(ascii({t}) AS BIGINT) * 1000003"
+    " + length({t}) * 10007 + ascii(reverse({t})) * 101) % 100003)"
+)
 
 
 @(lambda fn: (QUERIES.__setitem__("boilerplate_segments", fn), fn)[1])
@@ -740,14 +743,20 @@ def _ft_sql(dialect: str) -> str:
         else "list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')"
     )
     el = (lambda c, i: f"{c}[{i}]") if spark_side else (lambda c, i: f"{c}[{i} + 1]")
-    th = "(ascii({t}) * 1000003 + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+    th = (
+        "(CAST(ascii({t}) AS BIGINT) * 1000003"
+        " + length({t}) * 10007 + ascii(reverse({t})) * 101)"
+    )
     uni_h = f"({th.format(t='t')} % {_FT_D})"
     big_h = (
         f"((CAST({th.format(t=el('toks', 'i'))} AS BIGINT) * 31"
         f" + {th.format(t=el('toks', 'i + 1'))}) % {_FT_D})"
     )
     if spark_side:
-        uni = f"aggregate(toks, 0D, (acc, t) -> acc + element_at(w, {uni_h} + 1))"
+        uni = (
+            f"aggregate(toks, 0D, (acc, t) ->"
+            f" acc + element_at(w, CAST({uni_h} AS INT) + 1))"
+        )
         bigr = (
             f"aggregate(transform(sequence(0, n_tok - 2),"
             f" i -> element_at(w, CAST({big_h} AS INT) + 1)),"
