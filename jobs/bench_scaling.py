@@ -39,6 +39,7 @@ Measurement protocol (why each step exists):
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
 import re
@@ -348,10 +349,15 @@ def main() -> None:
         except Exception:
             micro = None
 
+    import shutil
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     data_dir = tempfile.mkdtemp(prefix="bench_scaling_", dir=base)
+    # the tmpfs staging is GBs of RAM: leaking it past the run depresses
+    # every subsequent bench on this host (measured −25% on bench.py with
+    # a stale 2.3 GB stage resident, ARCHITECTURE §7b) — always reap it
+    atexit.register(shutil.rmtree, data_dir, ignore_errors=True)
     # stage the input once (generation excluded from all timed runs)
     run_level(
         args.xn_cores, zip_path, args.turns, convs, data_dir,
@@ -577,7 +583,11 @@ sustained multicore work, the engine's own scaling clears the
 criterion. This is the falsification test the roofline model invited —
 the 0.33-0.52 round-4 band was host weather, not engine shape: the
 plans are byte-identical (CI-pinned) across both sessions, only the
-host changed.
+host changed. Run 5 (same day, ~3h later) measured raw 0.579-0.797 —
+rep 1 at 0.797, a hair under the bar, with its 32c run at 541.9k
+turns/s (the best 32c throughput of rounds 4-5); the session pair puts
+four of four round-5c reps in the 0.58-0.86 band the roofline predicts
+for a healthy host.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
