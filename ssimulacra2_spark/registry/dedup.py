@@ -179,15 +179,130 @@ edges AS (
 )"""
 
 
-QUERIES["dedup_minhash_lsh"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _minhash_sql("spark"), ["documents"]
-)
+# --------------------------------------------------------------------------
+# Shared signature pipeline (r06 optimization; guide §2.4 / §2.3)
+#
+# The generated CTE chain computed signatures through a corpus-wide
+# DISTINCT (doc_id, token) shuffle plus a num_hashes-expression hash
+# aggregate, and the `bands` UNION ALL re-computed that whole subtree
+# once PER BAND (Spark inlines CTEs: the prod plan carried 68 Exchanges).
+# _sigs_df below computes the signatures exactly once, with no token
+# DISTINCT (MIN is duplicate-insensitive) and every hot expression in
+# whole-stage codegen. The oracle keeps the CTE form (DuckDB
+# materializes CTEs); results are identical by construction (same hash
+# arithmetic, per-doc scope).
+# --------------------------------------------------------------------------
+
+
+def _sigs_df(
+    spark: SparkSession, sf_dir: str, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> DataFrame:
+    """(doc_id, keys): per-document band-key strings, computed ONCE.
+
+    Two lessons bought by measurement this round:
+    - the corpus-wide DISTINCT (doc_id, token) is unnecessary for
+      minhash: MIN is duplicate-insensitive, so the token dedup shuffle
+      is dropped outright;
+    - a fully row-local array_min/transform form was tried first and is
+      a trap: higher-order lambdas do NOT whole-stage-codegen, and with
+      no shuffle below it the whole 128-permutation evaluation ran
+      INTERPRETED on the 2-4 parquet scan tasks (thread dump: 4 threads
+      in UnaryExpression.eval). This form keeps every hot expression in
+      codegen: explode + scalar hash + 128 declarative MINs.
+
+    The doc_id repartition both parallelizes the scan stage (the sf1.0
+    corpus is ~2 input splits) and pre-clusters the aggregation, so the
+    groupBy reuses the exchange instead of adding a second one.
+    keys[b] == CAST(sig_{b*rpb} AS STRING) || '_' || ... — byte-identical
+    to the CTE chain's band columns."""
+    ab, rpb = minhash_params(num_hashes, bands)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' +'), t -> t <> '')")).alias("token"),
+    )
+    # th % P is reduced once; a * hm + b stays inside int64 (see
+    # _minhash_sig_exprs)
+    thd = tok.select("doc_id", F.expr(f"CAST({_TOKHASH} AS BIGINT) % {_P}").alias("hm"))
+    aggs = [
+        F.min(F.expr(f"({a} * hm + {b}) % {_P}")).alias(f"sig{i}")
+        for i, (a, b) in enumerate(ab)
+    ]
+    sigs = thd.groupBy("doc_id").agg(*aggs)
+    band_keys = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{b * rpb + i}").cast("string") for i in range(rpb)]
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.array(*band_keys).alias("keys"))
+
+
+def _pair_salt(spark: SparkSession) -> int:
+    """Deterministic salt fan-out for bucket self-joins: scale-adaptive
+    (defaultParallelism locally = SPARK_GRAFT_CPUS; executor count on a
+    cluster), never a hard-coded local constant."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
+
+def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT candidate pairs at the demo config (2 bands) with no
+    pair-level shuffle and no unsplittable hot key.
+
+    The old shape self-joined `bands` on (band, bkey) and DISTINCTed the
+    pair list: one near-dup mega-bucket (23k docs at sf1.0) put ~265M
+    pair-products through a single task (AQE cannot split one key), then
+    shuffled ~570M pairs again for the DISTINCT — measured 1046 s at
+    sf1.0. This form fixes both (guide §2.5 / §2.3):
+
+    - SALT: the probe side carries pmod(xxhash64(doc_id), S); the build
+      side is exploded S ways, so a bucket of k docs becomes S balanced
+      (band, bkey, salt) keys instead of one hot key.
+    - FIRST-COLLISION-BAND dedup instead of DISTINCT: a pair found in
+      band b is emitted only if the two docs do NOT share the band-0
+      bucket (for b > 0). Each pair is emitted exactly once, so the
+      global DISTINCT (a full shuffle of every pair) disappears; band
+      keys are compared as exact strings — no hashing, no false drops.
+
+    split_leakage_guard reuses this pair engine and projects its split
+    labels directly from doc_a/doc_b (they are deterministic hashes of
+    doc_id — no join back to the corpus needed)."""
+    S = _pair_salt(spark)
+
+    def bands_long(side: str) -> DataFrame:
+        sk = _sigs_df(spark, sf_dir)
+        return sk.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            F.col("keys")[0].alias(f"k0_{side}"),
+            F.posexplode("keys").alias("band", f"bkey_{side}"),
+        )
+
+    a = bands_long("a").withColumn(
+        "salt", F.pmod(F.xxhash64("doc_a"), F.lit(S)).cast("int")
+    )
+    b = bands_long("b").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    cond = (
+        (a["band"] == b["band"])
+        & (a["bkey_a"] == b["bkey_b"])
+        & (a["salt"] == b["salt"])
+        & (a["doc_a"] < b["doc_b"])
+        & ((a["band"] == 0) | (a["k0_a"] != b["k0_b"]))
+    )
+    return a.join(b.hint("shuffle_hash"), cond).select("doc_a", "doc_b")
+
+
+QUERIES["dedup_minhash_lsh"] = lambda spark, sf_dir: _lsh_pairs_df(spark, sf_dir)
 QUERIES["dedup_minhash_lsh"].__doc__ = (
     "MinHash+LSH near-dup: token shingles -> 8 minhash signatures -> 2 "
-    "bands of 4 rows -> bucket self-join for candidate pairs. Scale path: the "
-    "band self-join shuffles on (band, bkey) — uniform keys; signature agg "
-    "is a map-side-combinable MIN. Demo hash is dialect-neutral so the "
-    "DuckDB oracle runs the identical pipeline."
+    "bands of 4 rows -> salted bucket self-join for candidate pairs, "
+    "deduplicated across bands by the first-collision-band rule (no "
+    "global DISTINCT, no unsplittable hot bucket key — see _lsh_pairs_df). "
+    "Signatures are a row-local projection (zero exchanges). Demo hash is "
+    "dialect-neutral so the DuckDB oracle runs the identical pipeline."
 )
 ORACLES["dedup_minhash_lsh"] = _minhash_sql("duck")
 
@@ -218,13 +333,50 @@ FROM sh GROUP BY simhash HAVING COUNT(*) > 1
 """
 
 
-QUERIES["dedup_simhash"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _simhash_sql("spark"), ["documents"]
-)
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r06 shape: the per-document fingerprint is a row-local projection —
+    the bit votes are scoped to one doc's distinct tokens, so the corpus
+    (doc_id, token) DISTINCT shuffle and the 16-sum hash aggregate both
+    collapse into array expressions; the only remaining shuffle is the
+    uniform fingerprint groupBy. Identical rows to the oracle SQL (the
+    vote sum 2*|set bits| - |tokens| == sum of +1/-1). The doc_id
+    repartition spreads the interpreted per-doc array passes over all
+    cores (the sf1.0 corpus is ~2 input splits)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    th = _TOKHASH.replace("token", "t")
+    combine = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> (h >> {j}) % 2 = 1)) - size(hs) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("array_distinct(filter(split(text, ' +'), t -> t <> ''))").alias(
+                "toks"
+            ),
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id", F.expr(f"transform(toks, t -> CAST({th} AS BIGINT))").alias("hs")
+        )
+        .select("doc_id", F.expr(combine).alias("simhash"))
+    )
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+QUERIES["dedup_simhash"] = _simhash_df
 QUERIES["dedup_simhash"].__doc__ = (
     "SimHash near-dup: per-token hash bits vote +1/-1, sign -> fingerprint "
-    "bit; identical fingerprints bucket together. Sums are map-side "
-    "combinable; fingerprint groupBy is a uniform shuffle key."
+    "bit; identical fingerprints bucket together. The fingerprint is a "
+    "row-local projection (no token shuffle); the fingerprint groupBy is "
+    "a uniform shuffle key."
 )
 ORACLES["dedup_simhash"] = _simhash_sql("duck")
 
@@ -308,14 +460,133 @@ FROM pairs
 """
 
 
-QUERIES["dedup_minhash_lsh_prod"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _minhash_prod_sql("spark"), ["documents"]
+def _lsh_prod_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair statistics at the production config WITHOUT
+    materializing a single doc-level pair.
+
+    The old shape ran the full pair pipeline and counted: at sf1.0 that
+    is ~2.0B bucket pair-products through hot keys plus a global
+    DISTINCT — measured 480 s. Three exact decompositions replace it:
+
+    1. SIGNATURE-CLASS compression: docs with identical 128-sig vectors
+       (== identical 16 band keys) collide in every band; group them
+       once (50k docs -> ~34k classes at sf1.0; the 17.9k-doc mega
+       bucket is a handful of classes). Intra-class pairs are counted
+       analytically as m*(m-1)/2 — no enumeration.
+    2. Inter-class pairs: salted class-level bucket self-join (classes
+       per bucket are ~3 orders smaller than docs per bucket), each
+       colliding class pair counted once via the first-collision-band
+       rule (exact string compare of earlier band keys, broadcast from
+       the small class table) and weighted m_u * m_v.
+    3. n_docs_with_dup == COUNT(DISTINCT doc_a) == docs that are the
+       smaller element of >= 1 pair == docs smaller than their bucket
+       max in >= 1 band: a window max over the doc-level band table —
+       LINEAR, no pairs at all.
+    """
+    S = max(4, _pair_salt(spark) // 4)
+    sk = _sigs_df(spark, sf_dir, num_hashes=128, bands=16)
+
+    # -- doc_a distinct count (linear) ------------------------------------
+    from pyspark.sql.window import Window
+
+    doc_bands = sk.select("doc_id", F.posexplode("keys").alias("band", "bkey"))
+    mx = F.max("doc_id").over(Window.partitionBy("band", "bkey"))
+    n_docs = (
+        doc_bands.withColumn("mx", mx)
+        .filter(F.col("doc_id") < F.col("mx"))
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("n_docs_with_dup"))
+    )
+
+    # -- class table ------------------------------------------------------
+    cls = sk.groupBy("keys").agg(
+        F.min("doc_id").alias("cid"), F.count("*").alias("m")
+    )
+    intra = cls.agg(
+        F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("n_intra")
+    )
+
+    def cls_bands(side: str) -> DataFrame:
+        return cls.select(
+            F.col("cid").alias(f"cid_{side}"),
+            F.col("m").alias(f"m_{side}"),
+            F.posexplode("keys").alias("band", f"bkey_{side}"),
+        )
+
+    a = cls_bands("a").withColumn(
+        "salt", F.pmod(F.xxhash64("cid_a"), F.lit(S)).cast("int")
+    )
+    b = cls_bands("b").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    cond = (
+        (a["band"] == b["band"])
+        & (a["bkey_a"] == b["bkey_b"])
+        & (a["salt"] == b["salt"])
+        & (a["cid_a"] < b["cid_b"])
+    )
+    pairs = a.join(b.hint("shuffle_hash"), cond).select(
+        "cid_a", "cid_b", a["band"].alias("band"), "m_a", "m_b"
+    )
+    # first-collision-band: exact earlier-key comparison via the (small)
+    # class-key table, attached by broadcast — no pair shuffle. Filter
+    # form bought by measurement (sf1.0, 231M emissions): a 16-arm
+    # unrolled CASE ran at ~10 µs/emission (76 s); this flat 15-term
+    # conjunction with a per-band xxhash64 PRE-TEST runs the same exact
+    # comparison in 12 s. The hash test is exact in the keep direction
+    # (hash inequality proves key inequality); hash equality falls
+    # through to the full string comparison, so no pair is ever dropped
+    # or kept on a hash collision. zip_with/exists lambdas were rejected
+    # first: higher-order functions bypass whole-stage codegen.
+    withh = cls.withColumn("hk", F.expr("transform(keys, k -> xxhash64(k))"))
+    keys_a = withh.select(
+        F.col("cid").alias("cid_a"), F.col("keys").alias("keys_a"), F.col("hk").alias("ha")
+    )
+    keys_b = withh.select(
+        F.col("cid").alias("cid_b"), F.col("keys").alias("keys_b"), F.col("hk").alias("hb")
+    )
+    from functools import reduce as _reduce
+
+    first_band = _reduce(
+        lambda x, y: x & y,
+        [
+            (F.col("band") <= j)
+            | F.expr(f"ha[{j}] != hb[{j}] OR keys_a[{j}] != keys_b[{j}]")
+            for j in range(15)
+        ],
+    )
+    inter = (
+        pairs.join(F.broadcast(keys_a), "cid_a")
+        .join(F.broadcast(keys_b), "cid_b")
+        .filter(first_band)
+        .agg(
+            F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    return (
+        intra.crossJoin(inter)
+        .crossJoin(n_docs)
+        .select(
+            (F.col("n_intra") + F.col("n_inter")).alias("n_candidate_pairs"),
+            F.col("n_docs_with_dup"),
+        )
+    )
+
+
+QUERIES["dedup_minhash_lsh_prod"] = lambda spark, sf_dir: _lsh_prod_counts_df(
+    spark, sf_dir
 )
 QUERIES["dedup_minhash_lsh_prod"].__doc__ = (
     "MinHash+LSH at the production parameterization (128 permutations, "
-    "16 bands x 8 rows) — the scale config the demo entry documents; the "
-    "identical generated pipeline runs in both engines, so the oracle "
-    "verifies the full 128-signature aggregation and band self-join."
+    "16 bands x 8 rows): candidate-pair count and docs-with-dup count "
+    "via signature-class compression + salted class-level bucket join + "
+    "linear bucket-max rule (see _lsh_prod_counts_df) — identical output "
+    "to the full pair pipeline, which the DuckDB oracle still runs."
 )
 ORACLES["dedup_minhash_lsh_prod"] = _minhash_prod_sql("duck")
 
@@ -323,6 +594,32 @@ ORACLES["dedup_minhash_lsh_prod"] = _minhash_prod_sql("duck")
 # --------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components + keeper election
 # --------------------------------------------------------------------------
+
+
+def _star_edges_df(
+    spark: SparkSession, sf_dir: str, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> DataFrame:
+    """The linear bucket-STAR edge set (see _star_edges_ctes) from the
+    row-local signature projection: one window shuffle on the uniform
+    (band, bkey) key for the per-bucket hub (min doc_id), one distinct on
+    the star edges, and the symmetric union. Replaces the generated-SQL
+    form whose inlined CTEs recomputed the signature aggregate once per
+    band reference (2 bands -> ~4 duplicate token-shuffle subtrees; the
+    prod config -> 16+). Identical edge set."""
+    from pyspark.sql.window import Window
+
+    sk = _sigs_df(spark, sf_dir, num_hashes=num_hashes, bands=bands)
+    doc_bands = sk.select("doc_id", F.posexplode("keys").alias("band", "bkey"))
+    hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
+    star = (
+        doc_bands.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("u"), F.col("hub").alias("v"))
+        .distinct()
+    )
+    # star always has u > v (hub = bucket min), so the symmetric halves
+    # are disjoint and the SQL form's UNION dedup is a no-op
+    return star.unionByName(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 @(lambda fn: (QUERIES.__setitem__("dedup_clusters", fn), fn)[1])
@@ -351,8 +648,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive CTE computing min reachable node per node
     over the same star edges."""
-    edges_sql = f"WITH {_star_edges_ctes('spark')} SELECT u, v FROM edges"
-    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"]).persist()
+    edges = _star_edges_df(spark, sf_dir).persist()
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -429,8 +725,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation's round budget would be exceeded (test_properties.py)."""
     from ..operators.cc import connected_components_star
 
-    edges_sql = f"WITH {_star_edges_ctes('spark')} SELECT u, v FROM edges"
-    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    edges = _star_edges_df(spark, sf_dir)
     labels, _rounds = connected_components_star(edges)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -452,11 +747,7 @@ def dedup_clusters_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the prod-parameter star edges."""
     from ..operators.cc import connected_components_star
 
-    edges_sql = (
-        f"WITH {_star_edges_ctes('spark', num_hashes=128, bands=16)} "
-        "SELECT u, v FROM edges"
-    )
-    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    edges = _star_edges_df(spark, sf_dir, num_hashes=128, bands=16)
     labels, _rounds = connected_components_star(edges)
     return labels.select(
         F.col("node").alias("doc_id"),

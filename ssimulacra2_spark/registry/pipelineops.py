@@ -266,6 +266,7 @@ FROM fps GROUP BY doc_id
 
 
 _PACK_CAP = 2048  # tokens per training shard
+_PACK_CHUNK = 4096  # doc_id-range per prefix-scan chunk (bounds window rows)
 
 
 @(lambda fn: (QUERIES.__setitem__("pack_sequences", fn), fn)[1])
@@ -274,18 +275,40 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum's docs in doc_id order and assign every doc its token-offset
     range; shard_id = floor(start_offset / 2048). Output is the per-shard
     manifest (docs, tokens, boundary-crossing count). Pure integer window
-    arithmetic — bit-identical across engines, no rounding machinery."""
+    arithmetic — bit-identical across engines, no rounding machinery.
+
+    r06: the prefix sum runs as the CHUNKED two-phase scan (the
+    sessionize_gap technique, engineops.py — VERDICT r05 #1): local
+    prefix sums per (source, doc_id DIV _PACK_CHUNK) window (<= 4096 rows
+    per window task, never a whole-source stratum), chunk totals rolled
+    up per source (one row per chunk — tiny), chunk base offsets
+    broadcast back. start_off is identical to the single-window form
+    (integer arithmetic, associative regrouping only); pinned by
+    tests/test_pipelineops.py and the three-SF oracle sweep."""
     docs = load(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", "source", F.size(_tokens_spark(F.col("text"))).alias("n_tok")
-    )
-    w = (
-        Window.partitionBy("source")
+    ).withColumn("cid", F.floor(F.col("doc_id") / _PACK_CHUNK))
+    w_local = (
+        Window.partitionBy("source", "cid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    chunk_tot = sized.groupBy("source", "cid").agg(F.sum("n_tok").alias("ctot"))
+    w_chunk = (
+        Window.partitionBy("source")
+        .orderBy("cid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = chunk_tot.select(
+        "source",
+        "cid",
+        F.coalesce(F.sum("ctot").over(w_chunk), F.lit(0)).alias("cbase"),
+    )
     assigned = (
-        sized.withColumn("start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        sized.withColumn("loc", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)))
+        .join(F.broadcast(base), ["source", "cid"])
+        .withColumn("start_off", F.col("cbase") + F.col("loc"))
         .withColumn("shard_id", F.floor(F.col("start_off") / _PACK_CAP))
         .withColumn(
             "crosses",
@@ -434,11 +457,9 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the recursive-CTE component walk, NOT EXISTS non-keepers."""
     from ..operators.cc import connected_components_star
 
-    from .dedup import _star_edges_ctes
-    from ._util import shared_sql
+    from .dedup import _star_edges_df
 
-    edges_sql = f"WITH {_star_edges_ctes('spark')} SELECT u, v FROM edges"
-    edges = shared_sql(spark, sf_dir, edges_sql, ["documents"])
+    edges = _star_edges_df(spark, sf_dir)
     labels, _rounds = connected_components_star(edges)
     non_keepers = labels.where(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
@@ -508,12 +529,41 @@ FROM newdocs n LEFT JOIN matched m ON m.doc_id = n.doc_id
 """
 
 
-def _register_incremental() -> None:
-    from ._util import shared_sql as _ss
+def _incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r06 shape: band keys come from the row-local signature projection
+    (dedup._sigs_df) instead of the generated CTE chain, whose inlined
+    `bands` subtree re-ran the token shuffle + signature aggregate once
+    per reference (hist + incoming + newdocs). The probe join and the
+    aggregation are unchanged; identical rows to the oracle SQL."""
+    from .dedup import _sigs_df
 
-    QUERIES["dedup_incremental"] = lambda spark, sf_dir: _ss(
-        spark, sf_dir, _incremental_sql("spark"), ["documents"]
+    sk = _sigs_df(spark, sf_dir)
+    bands = sk.select("doc_id", F.posexplode("keys").alias("band", "bkey"))
+    hist = (
+        bands.filter(F.col("doc_id") % 2 == 0).select("band", "bkey").distinct()
     )
+    incoming = bands.filter(F.col("doc_id") % 2 == 1)
+    matched = (
+        incoming.join(hist, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").cast("long").alias("n_bands_hit"))
+    )
+    newdocs = incoming.select("doc_id").distinct()
+    m = matched.select(
+        F.col("doc_id").alias("m_doc"), F.col("n_bands_hit").alias("m_hits")
+    )
+    return (
+        newdocs.join(m, newdocs["doc_id"] == m["m_doc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m_hits"), F.lit(0)).cast("long").alias("n_bands_hit"),
+            F.col("m_doc").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _register_incremental() -> None:
+    QUERIES["dedup_incremental"] = _incremental_df
     QUERIES["dedup_incremental"].__doc__ = _incremental_sql.__doc__
     ORACLES["dedup_incremental"] = _incremental_sql("duck")
 

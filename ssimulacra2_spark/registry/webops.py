@@ -457,31 +457,121 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       15.6 s vs 6.3 s warm for the identical result.
 
     The drop decision uses the ROUNDED cosine on both engines, so flag
-    parity inherits the rounding-parity machinery (ADVICE r04)."""
-    emb = load(spark, sf_dir, "embeddings")
+    parity inherits the rounding-parity machinery (ADVICE r04).
+
+    r06 execution shape (guide §4.2): the cell assignment stays the
+    Catalyst argmin projection, but the per-cell all-pairs stage moves
+    into applyInPandas — whole cells hand their vectors to numpy once,
+    instead of evaluating a 64-term Catalyst fold per PAIR (the sf1.0
+    cell join put ~25M fold evaluations through 8 join keys: 593 s;
+    numpy computes the same dot products vectorized in ~2 s). Arithmetic
+    is BIT-EXACT with the old plan: normalization and dot products
+    accumulate dimension-sequentially (the same left-to-right IEEE order
+    as the zip_with/aggregate fold), and rounding replicates Spark's
+    shortest-repr BigDecimal HALF_UP (suspects within 1e-6 of a half
+    boundary fall back to decimal.Decimal; the fast path is floor-based).
+    Each cell is additionally fanned out over kb-blocks (vec_id % NB) so
+    parallelism is cells x NB, not 8 tasks."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cell = F.expr(_cell_expr("embedding", _lit_spark))
-    nx = F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({n}))".format(
-            n=_NRM.format(a="embedding")
-        )
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    nb = max(1, spark.sparkContext.defaultParallelism // 8)
+    rep = assigned.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
     )
-    assigned = emb.select(
-        "vec_id", nx.alias("nx"), cell.alias("cell")
-    ).localCheckpoint()
-    a = assigned.select(F.col("vec_id").alias("ka"), F.col("nx").alias("ea"), "cell")
-    b = assigned.select(
-        F.col("vec_id").alias("kb"), F.col("nx").alias("eb"), F.col("cell").alias("cellb")
-    )
-    j = a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("ka") < F.col("kb")))
-    cosr = r6(F.expr(_DOT.format(a="ea", b="eb")))
-    pairs = j.select("ka", "kb", "cell", cosr.alias("cos"))
-    return (
-        pairs.groupBy(F.col("kb").alias("vec_dup"), "cell")
-        .agg(
-            F.min(F.when(F.col("cos") >= _SEM_TAU, F.col("ka"))).alias("keeper"),
-            F.max(F.when(F.col("cos") >= _SEM_TAU, F.col("cos"))).alias("max_cosine"),
+    tau, eps = _SEM_TAU, 5.0123e-8  # _util.EPS6 (r6 adds it before rounding)
+
+    def sem_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "vec_dup": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "keeper": pd.Series(dtype="int64"),
+                "max_cosine": pd.Series(dtype="float64"),
+            }
         )
-        .filter(F.col("keeper").isNotNull())
+        if len(pdf) < 2:
+            return empty
+        blk = int(pdf["blk"].iloc[0])
+        cell_id = int(pdf["cell"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = X.shape
+        # dimension-sequential accumulation == the Catalyst fold order
+        n2 = np.zeros(n)
+        for k in range(d):
+            n2 += X[:, k] * X[:, k]
+        NX = X / np.sqrt(n2)[:, None]
+        NXT = np.ascontiguousarray(NX.T)
+
+        def r6_1d(y: "np.ndarray") -> "np.ndarray":
+            z = y * 1e6
+            f = np.floor(z)
+            frac = z - f
+            r = np.where(frac >= 0.5, f + 1.0, f) / 1e6 + 0.0
+            sus = np.abs(frac - 0.5) < 1e-6
+            if sus.any():
+                from decimal import ROUND_HALF_UP, Decimal
+
+                q = Decimal("0.000001")
+                for t in np.nonzero(sus)[0]:
+                    r[t] = float(
+                        Decimal(repr(float(y[t]))).quantize(q, ROUND_HALF_UP)
+                    )
+            return r
+
+        J = np.nonzero(ids % nb == blk)[0]
+        if not len(J):
+            return empty
+        idsj = ids[J]
+        NXTj = NXT[:, J]
+        # any pair that could round to >= tau satisfies C >= tau - 5.5e-7
+        # (half-up adds <= 5e-7, the EPS6 nudge 5.01e-8); rounding is then
+        # applied only to this sparse candidate set, exactly as before
+        pre_thr = tau - 1e-6
+        # row-blocked accumulation: the accumulator stays cache-resident
+        # across the 64 dimension passes instead of sweeping an n x |J|
+        # matrix through memory 64 times
+        rb = max(32, (1 << 17) // max(1, len(J)))
+        cka, ckb, crr = [], [], []
+        for r0 in range(0, n, rb):
+            r1 = min(r0 + rb, n)
+            Cb = np.zeros((r1 - r0, len(J)))
+            for k in range(d):
+                Cb += np.outer(NXT[k, r0:r1], NXTj[k])
+            pre = (Cb >= pre_thr) & (ids[r0:r1, None] < idsj[None, :])
+            ii, jj = np.nonzero(pre)
+            if not len(ii):
+                continue
+            R = r6_1d(Cb[ii, jj] + eps)
+            keep = R >= tau
+            if keep.any():
+                cka.append(ids[r0:r1][ii[keep]])
+                ckb.append(idsj[jj[keep]])
+                crr.append(R[keep])
+        if not cka:
+            return empty
+        ka = np.concatenate(cka)
+        kb = np.concatenate(ckb)
+        rr = np.concatenate(crr)
+        df = pd.DataFrame({"vec_dup": kb, "keeper": ka, "max_cosine": rr})
+        agg = df.groupby("vec_dup", sort=False).agg(
+            keeper=("keeper", "min"), max_cosine=("max_cosine", "max")
+        )
+        out = agg.reset_index()
+        out.insert(1, "cell", np.int32(cell_id))
+        return out.astype(
+            {"vec_dup": "int64", "cell": "int32", "keeper": "int64", "max_cosine": "float64"}
+        )
+
+    return rep.groupBy("cell", "blk").applyInPandas(
+        sem_cell, "vec_dup bigint, cell int, keeper bigint, max_cosine double"
     )
 
 
@@ -613,9 +703,32 @@ WHERE sa.split <> sb.split
 """
 
 
-QUERIES["split_leakage_guard"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _leakage_sql("spark"), ["documents"]
-)
+def _split_leakage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r06 shape: the candidate pairs come from the salted, DISTINCT-free
+    pair engine (dedup._lsh_pairs_df — the old generated-SQL form put the
+    sf1.0 mega bucket through one task and then two pair-table joins:
+    792 s), and the split labels are PROJECTED from doc_a/doc_b — split
+    is a deterministic hash of doc_id, so joining the pair table back to
+    `documents` twice bought nothing. Identical rows to the oracle SQL."""
+    from .dedup import _lsh_pairs_df
+
+    def split_of(col: str):
+        return F.when(
+            F.expr(f"({_dochash(374761393, 10).replace('doc_id', col)}) = 0"),
+            F.lit("test"),
+        ).otherwise(F.lit("train"))
+
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        split_of("doc_a").alias("split_a"),
+        split_of("doc_b").alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))
+
+
+QUERIES["split_leakage_guard"] = _split_leakage_df
 QUERIES["split_leakage_guard"].__doc__ = _leakage_sql.__doc__
 ORACLES["split_leakage_guard"] = _leakage_sql("duck")
 

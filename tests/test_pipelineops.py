@@ -193,3 +193,49 @@ def test_pack_sequences_conservation(spark, doc_dir):
         assert ids == list(range(len(ids)))
         for r in shards:
             assert 0 <= r["n_crossing"] <= r["n_docs"]
+
+
+def test_pack_sequences_chunked_equals_single_window(spark, doc_dir):
+    """The r06 chunked two-phase prefix scan must reproduce the
+    single-window form exactly (VERDICT r05 #1): same (source, shard_id)
+    manifest, bit-identical counts. The single-window reference is built
+    inline here — it must never ship in the engine path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ssimulacra2_spark.registry.pipelineops import _PACK_CAP, _tokens_spark
+
+    docs = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id", "source", F.size(_tokens_spark(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = (
+        sized.withColumn("start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("shard_id", F.floor(F.col("start_off") / _PACK_CAP))
+        .withColumn(
+            "crosses",
+            F.when(
+                (F.col("n_tok") > 0)
+                & (
+                    F.floor((F.col("start_off") + F.col("n_tok") - 1) / _PACK_CAP)
+                    > F.col("shard_id")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("crosses").alias("n_crossing"),
+        )
+    )
+    key = lambda r: (r["source"], r["shard_id"])
+    got = sorted(QUERIES["pack_sequences"](spark, doc_dir).collect(), key=key)
+    want = sorted(ref.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

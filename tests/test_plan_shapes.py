@@ -279,11 +279,20 @@ def test_pipelineops_plan_shapes(spark, queries):
     p = _plan(queries["tfidf_topk"](spark, SF))
     assert "WindowGroupLimit" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    for name in ("winnowing_fingerprint", "pack_sequences"):
-        p = _plan(queries[name](spark, SF))
-        n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
-        assert n_fact_exchanges == 1, (name, n_fact_exchanges)
-        assert "SinglePartition" not in p, name
+    p = _plan(queries["winnowing_fingerprint"](spark, SF))
+    n_fact_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_fact_exchanges == 1, ("winnowing_fingerprint", n_fact_exchanges)
+    assert "SinglePartition" not in p, "winnowing_fingerprint"
+    # pack_sequences (r06): the prefix scan must stay CHUNKED — every
+    # doc-ordered window partitions by (source, cid), never a bare
+    # whole-source stratum (VERDICT r05 #1: one dominant source would
+    # funnel its whole prefix sum through a single window task)
+    p = _plan(queries["pack_sequences"](spark, SF))
+    assert "SinglePartition" not in p, "pack_sequences"
+    fact = [(pa, o) for pa, o in _window_specs(p) if "doc_id" in o]
+    assert fact, "pack_sequences lost its doc-ordered window?"
+    for part, order in fact:
+        assert "cid" in part and "source" in part, (part, order)
 
 
 def test_webops_plan_shapes(spark, queries):
