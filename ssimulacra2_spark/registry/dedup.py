@@ -597,7 +597,11 @@ ORACLES["dedup_minhash_lsh_prod"] = _minhash_prod_sql("duck")
 
 
 def _star_edges_df(
-    spark: SparkSession, sf_dir: str, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    symmetric: bool = True,
 ) -> DataFrame:
     """The linear bucket-STAR edge set (see _star_edges_ctes) from the
     row-local signature projection: one window shuffle on the uniform
@@ -618,7 +622,11 @@ def _star_edges_df(
         .distinct()
     )
     # star always has u > v (hub = bucket min), so the symmetric halves
-    # are disjoint and the SQL form's UNION dedup is a no-op
+    # are disjoint and the SQL form's UNION dedup is a no-op. Callers
+    # that canonicalize anyway (the star-CC family) take symmetric=False
+    # and skip doubling the edge set into cc._canon's distinct.
+    if not symmetric:
+        return star
     return star.unionByName(star.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
@@ -635,27 +643,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark path: iterative min-label propagation — each round every node
     takes the min of its own label and its neighbors' labels (two hops
-    per checked round); terminates when the label sum stops changing
-    (labels are monotone non-increasing, so the sum is a convergence
-    certificate). Star-graph diameters are tiny (bucket stars overlap
-    through shared docs). Each round breaks lineage via localCheckpoint.
-    For unbounded-diameter graphs (adversarial near-dup chains at the
-    10^12-row design point) use dedup_clusters_star below — the
-    implemented large-star/small-star alternation (operators/cc.py),
+    plus one pointer jump per checked round); terminates when the label
+    sum stops changing (labels are monotone non-increasing, so the sum
+    is a convergence certificate). Each round breaks lineage via
+    localCheckpoint. For unbounded-diameter graphs (adversarial near-dup
+    chains at the 10^12-row design point) use dedup_clusters_star below
+    — the implemented large-star/small-star alternation (operators/cc.py),
     O(log^2 n) rounds of uniform-key shuffles on any graph; pytest pins
     label equality between the two on the same LSH fixture
     (tests/test_properties.py).
 
+    r06 iteration-cost lessons (measured at sf1/32c):
+    - the edge set is CHECKPOINTED, not persisted: a persisted DF keeps
+      its whole Catalyst lineage, and every round re-plans (and round 0
+      partially re-executes) the full signature pipeline — loop went
+      17.5 s -> 4.6 s from this one change;
+    - AQE rebalance before the checkpoint right-sizes the cached edge
+      partitions from the advisory size (the 128-partition layout the
+      distinct+union left behind made every round ~10 stages x 128
+      tiny tasks) — scale-adaptive, no local constant;
+    - only the canonical star half is materialized; the symmetric view
+      is a lazy union over the cached RDD.
+
     Oracle: DuckDB recursive CTE computing min reachable node per node
     over the same star edges."""
-    edges = _star_edges_df(spark, sf_dir).persist()
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    edges = (
+        _star_edges_df(spark, sf_dir, symmetric=False)
+        .hint("rebalance")
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
 
     def propagate(lbl: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(
+            sym.join(
                 lbl.select(F.col("node").alias("v"), F.col("label").alias("v_label")),
                 "v",
             )
@@ -669,21 +698,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label"),
         )
 
+    def jump(lbl: DataFrame) -> DataFrame:
+        # pointer jump (path doubling): label'[x] = min(label[x],
+        # label[label[x]]). label[y] <= y for every y (labels start at
+        # the node id and only decrease), so the step is element-wise
+        # monotone non-increasing and the sum certificate stays valid;
+        # label values are always node ids of the same component, so the
+        # fixed point is unchanged. Turns the O(diameter) hop count into
+        # O(log diameter) checked rounds — measured 7 rounds -> 3 on the
+        # sf0.1 bucket graph (diameter ~13, not the 2-4 the star
+        # intuition suggests: hubs chain through shared docs).
+        l2 = lbl.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+        return lbl.join(l2, lbl["label"] == l2["jn"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("jl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+
     prev_sum = None
     converged = False
     # labels are monotone non-increasing, so an unchanged label sum is a
-    # convergence certificate. Iterate UNTIL it fires (2 hops per checked
-    # round -> covers diameter 2^rounds growth in far fewer rounds than
-    # the cap); the cap is a runaway backstop, and hitting it without the
-    # certificate raises rather than silently returning unconverged ids.
+    # convergence certificate. Iterate UNTIL it fires (2 neighbor hops +
+    # one pointer jump per checked round); the cap is a runaway backstop,
+    # and hitting it without the certificate raises rather than silently
+    # returning unconverged ids.
     for _ in range(64):
-        labels = propagate(propagate(labels)).localCheckpoint()
+        labels = jump(propagate(propagate(labels))).localCheckpoint()
         s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         if s == prev_sum:
             converged = True
             break
         prev_sum = s
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge within 64 "
@@ -725,8 +771,8 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation's round budget would be exceeded (test_properties.py)."""
     from ..operators.cc import connected_components_star
 
-    edges = _star_edges_df(spark, sf_dir)
-    labels, _rounds = connected_components_star(edges)
+    edges = _star_edges_df(spark, sf_dir, symmetric=False)
+    labels, _rounds = connected_components_star(edges, canonical=True)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -747,8 +793,8 @@ def dedup_clusters_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the prod-parameter star edges."""
     from ..operators.cc import connected_components_star
 
-    edges = _star_edges_df(spark, sf_dir, num_hashes=128, bands=16)
-    labels, _rounds = connected_components_star(edges)
+    edges = _star_edges_df(spark, sf_dir, num_hashes=128, bands=16, symmetric=False)
+    labels, _rounds = connected_components_star(edges, canonical=True)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

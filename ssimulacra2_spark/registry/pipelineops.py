@@ -459,8 +459,8 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import _star_edges_df
 
-    edges = _star_edges_df(spark, sf_dir)
-    labels, _rounds = connected_components_star(edges)
+    edges = _star_edges_df(spark, sf_dir, symmetric=False)
+    labels, _rounds = connected_components_star(edges, canonical=True)
     non_keepers = labels.where(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
