@@ -14,7 +14,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import load, shared_sql
+from ._util import load, load_spread, shared_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -391,7 +391,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard between candidate pairs. Demo pairs: consecutive
     doc_ids (at scale, candidates come from LSH buckets — never all pairs;
     this op is the verify stage downstream of dedup_minhash_lsh)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split("text", " +"), lambda t: t != "")).alias("toks"),

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import load, r6
+from ._util import load, load_spread, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -110,7 +110,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf * (ln((N+1)/(df+1)) + 1), deterministic tie-break on the ROUNDED
     score (both engines rank the identical 6-decimal value) then term.
     The corpus size N rides a broadcast single-row cross join."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens_spark(F.lower(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -158,7 +158,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-proxy quality signal: H = ln(T) - Σ tf·ln(tf) / T over the
     doc's term counts, plus the ln(V)-normalized variant. Two chained
     map-side-combinable aggs — one shuffle keyed by doc_id."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens_spark(F.lower(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     per_doc = tf.groupBy("doc_id").agg(
@@ -212,7 +212,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex strings ordered lexicographically (engine-portable min).
     Output: per-doc fingerprint-set summary (count + lexicographic
     min/max witness)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(_tokens_spark(F.lower(F.col("text")))).alias("pos", "tok")
     )
@@ -383,7 +383,7 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token gate is an in-array op — valid because docs are
     length-bounded upstream; the unbounded-doc variant is the shuffle
     pipeline in quality_repetition_rules."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     toks = _tokens_spark(text)
     n_chars = F.length(text)
@@ -640,7 +640,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted as the md5 of the normal form (the dedup key) plus raw and
     normalized lengths — a pure single-scan projection; the regex
     classes used are semantics-identical between Java regex and RE2."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
     norm = F.trim(F.regexp_replace(norm, " +", " "))
     return docs.select(

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import load, r6
+from ._util import load, load_spread, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -53,7 +53,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-structure, one uniform groupBy(doc_id). Never
     all-pairs. Same candidate-generation shape as dedup_ngram_jaccard's
     LSH stage (dedup.py)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     th = _TOK_HASH.format(t="toks[i + {k}]")
     shingle = (
         f"(CAST({th.format(k=0)} AS BIGINT) * 961"
@@ -68,13 +68,18 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # guard BEFORE sequence(): Spark's sequence(0, n) with n < 0 yields a
         # DESCENDING sequence, which would fabricate null shingles here
         .filter(F.size("toks") >= 3)
+        # per-doc dedup is row-local (h is scoped to one doc): array_distinct
+        # inside the projection replaces the corpus-wide DISTINCT shuffle —
+        # identical (doc_id, h) set, zero exchanges (guide §2.4)
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"transform(sequence(0, size(toks) - 3), i -> {shingle})")
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks) - 3),"
+                    f" i -> {shingle}))"
+                )
             ).alias("h"),
         )
-        .distinct()
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bench = sh.filter(is_bench).select("h").distinct()

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import load, r6, shared_sql
+from ._util import load, load_spread, r6, shared_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -35,7 +35,7 @@ def _count_sub_duck(col: str, sub: str) -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic: count per-language marker
     words, argmax with a deterministic tie-break (score desc, lang asc)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     scores = [
         (
@@ -81,7 +81,7 @@ ORACLES["lang_id"] = _lang_oracle()
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length, mean word length, whitespace
     ratio, stopword ratio — the standard training-data quality gates."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     n_chars = F.length(text)
     n_ws = F.length(text) - F.length(F.replace(text, F.lit(" ")))
@@ -118,7 +118,7 @@ FROM documents
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate
     (word-boundary regex pieces + ceil(chars/4) cap blend)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     ws_tokens = F.size(F.filter(F.split(text, " +"), lambda t: t != ""))
     pieces = F.size(F.filter(F.split(text, "[^a-zA-Z0-9]+"), lambda t: t != ""))
@@ -233,7 +233,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades quadratically on long documents; this one does not).
     Reference analog: the per-frame error-map aggregation that flags
     outlier frames, video.rs:484-495."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " +"), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("toks"))
     tok_counts = (

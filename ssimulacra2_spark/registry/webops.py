@@ -44,7 +44,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import load, r6, shared_sql
+from ._util import load, load_spread, r6, shared_sql
 from .dedup import _minhash_ctes
 from .ivf import _cell_expr, _lit_duck, _lit_spark
 from .roundops import _BENCH_MOD, _BENCH_REM, _TOK_HASH
@@ -174,7 +174,7 @@ def bloom_membership_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe chain also runs unchanged on a document stream as a
     stream-static join (validate_stream.py::bloom_probe_stream,
     stream == batch pinned in test_streaming.py)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = shingle_rows(docs)
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
     bloom = build_bloom(sh.filter(is_bench))
@@ -270,7 +270,7 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The percentile is computed from score doubles built by the
     IDENTICAL expression in both engines, so threshold comparisons see
     bit-identical operands."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     n_stop = None
@@ -351,7 +351,7 @@ def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key — the canonical two-shuffle shape of C4 line dedup.
     At 100 TB the count table is reusable across runs (it's the corpus
     boilerplate dictionary)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     weights = "array(" + ", ".join(f"{w}L" for w in _SEG_W) + ")"
     th2 = _TH2.format(t="t")
     segexpr = (
@@ -751,7 +751,7 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST back, so scoring is one corpus scan + broadcast lookups +
     a uniform groupBy(doc_id). At web scale the LM side would be
     hash-pruned to the top-k contexts; the plan shape is unchanged."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     big = (
         docs.select(
             "doc_id",
@@ -898,7 +898,7 @@ FROM s
 
 
 QUERIES["ft_hash_classifier"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _ft_sql("spark"), ["documents"]
+    spark, sf_dir, _ft_sql("spark"), ["documents"], spread=["documents"]
 )
 QUERIES["ft_hash_classifier"].__doc__ = _ft_sql.__doc__
 ORACLES["ft_hash_classifier"] = _ft_sql("duck")
