@@ -12,8 +12,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# uniform unique key per table for the spread repartition (hash-even)
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
 def load_spread(
-    spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id"
+    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
 ) -> DataFrame:
     """Scan with a PARALLELISM FLOOR for compute-heavy row-local stages.
 
@@ -33,7 +43,7 @@ def load_spread(
     df = load(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, F.col(key))
+        return df.repartition(p, F.col(key or _SPREAD_KEYS[name]))
     return df
 
 

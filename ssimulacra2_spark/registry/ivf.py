@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import load, r6
+from ._util import load, load_spread, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -90,7 +90,7 @@ def _cell_expr(col: str, lit) -> str:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: assign all vectors to cells, then top-k by cosine only
     among same-cell candidates for the first _N_QUERIES vectors."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     cell = F.expr(_cell_expr("embedding", _lit_spark))
     assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -162,7 +162,7 @@ FROM hits GROUP BY q_id
 def _run_shared(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from ._util import shared_sql
 
-    return shared_sql(spark, sf_dir, sql, ["embeddings"])
+    return shared_sql(spark, sf_dir, sql, ["embeddings"], spread=["embeddings"])
 
 
 QUERIES["ann_ivf_recall"] = lambda spark, sf_dir: _run_shared(
@@ -266,7 +266,7 @@ FROM moved m JOIN norms n ON n.cell = m.cell
 from ._util import shared_sql as _shared_sql
 
 QUERIES["kmeans_refine"] = lambda spark, sf_dir: _shared_sql(
-    spark, sf_dir, _kmeans_sql("spark"), ["embeddings"]
+    spark, sf_dir, _kmeans_sql("spark"), ["embeddings"], spread=["embeddings"]
 )
 QUERIES["kmeans_refine"].__doc__ = _kmeans_sql.__doc__
 ORACLES["kmeans_refine"] = _kmeans_sql("duck")

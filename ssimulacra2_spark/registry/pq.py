@@ -209,13 +209,13 @@ GROUP BY p.q_id
 
 
 QUERIES["ann_pq_topk"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _pq_topk_sql("spark"), ["embeddings"]
+    spark, sf_dir, _pq_topk_sql("spark"), ["embeddings"], spread=["embeddings"]
 )
 QUERIES["ann_pq_topk"].__doc__ = _pq_topk_sql.__doc__
 ORACLES["ann_pq_topk"] = _pq_topk_sql("duck")
 
 QUERIES["ann_pq_recall"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _pq_recall_sql("spark"), ["embeddings"]
+    spark, sf_dir, _pq_recall_sql("spark"), ["embeddings"], spread=["embeddings"]
 )
 QUERIES["ann_pq_recall"].__doc__ = _pq_recall_sql.__doc__
 ORACLES["ann_pq_recall"] = _pq_recall_sql("duck")

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import load
+from ._util import load, load_spread
 
 QUERIES = {}
 ORACLES = {}
@@ -49,7 +49,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit -> Exchange -> WindowGroupLimit -> Window). No
     single-reducer global sort at 100 TB, and no hand-rolled extra
     shuffle."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -99,7 +99,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output. Scale path: bucketing is a pure projection (no shuffle until
     the per-bucket groupBy, whose keys are near-uniform by construction);
     ANN then joins query buckets to candidate buckets only."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     bucket = None
     for i, p in enumerate(HYPERPLANES):
         dot = F.expr(_DOT_SPARK.format(a="embedding", b=_plane_literal_spark(p)))
@@ -240,7 +240,7 @@ ORACLES["ann_lsh_recall"] = _lsh_recall_sql("duck")
 def _run_shared(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from ._util import shared_sql
 
-    return shared_sql(spark, sf_dir, sql, ["embeddings"])
+    return shared_sql(spark, sf_dir, sql, ["embeddings"], spread=["embeddings"])
 
 
 # --------------------------------------------------------------------------

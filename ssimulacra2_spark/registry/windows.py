@@ -115,9 +115,69 @@ def _pyramid_sql(num_scales: int = NUM_SCALES) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-QUERIES["limit_scales"] = lambda spark, sf_dir: shared_sql(
-    spark, sf_dir, _pyramid_sql(), ["lineitem"]
-)
+def _pyramid_df(spark: SparkSession, sf_dir: str, num_scales: int = NUM_SCALES) -> DataFrame:
+    """DataFrame translation of _pyramid_sql with each level PERSISTED.
+
+    Spark inlines the CTE chain, so the generated-SQL form re-executed
+    the whole window pyramid once per UNION branch (level 5's aggregate
+    re-ran levels 0-4; exchange reuse dedups only the shuffles, not the
+    Sort+Window above them — ~21 window executions for 6 levels).
+    Each level is materialized EAGERLY with localCheckpoint, in order:
+    every window executes exactly once, and no union branch ever blocks
+    on another branch's half-built cache (lazy persist was tried first —
+    the union's branches race the unbuilt InMemoryRelation and stall on
+    its per-partition cache locks while holding task slots, the same
+    pathology bench.py documents for concurrent sinks). Expression
+    arithmetic is identical term-for-term to the SQL the oracle still
+    runs (same row_number keys, same (v + COALESCE(lead, v))/2.0 fold,
+    same ROUND-with-EPS6 via r6), so parity is preserved. Measured at
+    sf1/32c (paired in-session A/B): repeat runs 3.8-7.7 s -> ~1.1 s;
+    first runs comparable."""
+    from functools import reduce
+
+    lvl = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("g"),
+        (
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber", "l_extendedprice", "l_quantity", "l_discount"
+                )
+            )
+            - 1
+        ).cast("long").alias("rn"),
+        F.col("l_quantity").cast("double").alias("v"),
+    )
+    levels = [lvl.localCheckpoint()]
+    for _ in range(1, num_scales):
+        w = Window.partitionBy("g").orderBy("rn")
+        nxt = (
+            levels[-1]
+            .select(
+                "g",
+                "rn",
+                (
+                    (F.col("v") + F.coalesce(F.lead("v").over(w), F.col("v"))) / 2.0
+                ).alias("v"),
+            )
+            .filter(F.col("rn") % 2 == 0)
+            .select(
+                "g",
+                F.floor(F.col("rn") / 2.0).cast("long").alias("rn"),
+                "v",
+            )
+        )
+        levels.append(nxt.localCheckpoint())
+    aggs = [
+        lv.agg(F.count("*").alias("n_rows"), r6(F.avg("v")).alias("avg_v")).select(
+            F.lit(s).alias("scale"), "n_rows", "avg_v"
+        )
+        for s, lv in enumerate(levels)
+    ]
+    return reduce(DataFrame.unionAll, aggs)
+
+
+QUERIES["limit_scales"] = _pyramid_df
+QUERIES["limit_scales"].__doc__ = _pyramid_df.__doc__
 ORACLES["limit_scales"] = _pyramid_sql()
 
 
