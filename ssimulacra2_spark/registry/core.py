@@ -457,15 +457,32 @@ FROM events GROUP BY event_type
 @q("agg_weighted_score")
 def agg_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sub-score reduce (lib.rs:456-470: sum of weight*abs(value)
-    over a fixed trained table). Broadcast weight dim + sum."""
+    over a fixed trained table).
+
+    The weight dim is a 5-row build-time constant, so the broadcast join
+    is folded into a literal map lookup (guide §1.2: don't move data to
+    make a decision a projection can make). element_at returns NULL for
+    a type outside the table, which SUM skips — exactly the rows the
+    oracle's inner join drops; the r05 bench flagged this query as a
+    >2x outlier and the isolation A/B traced it to the per-call
+    createDataFrame + broadcast build, not the aggregation."""
     ev = load(spark, sf_dir, "events")
-    weights = spark.createDataFrame(
-        [("click", 0.05), ("view", 0.10), ("signup", 0.25), ("purchase", 0.45), ("error", 0.15)],
-        ["event_type", "w"],
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for kv in [
+                ("click", 0.05),
+                ("view", 0.10),
+                ("signup", 0.25),
+                ("purchase", 0.45),
+                ("error", 0.15),
+            ]
+            for x in kv
+        ]
     )
-    return (
-        ev.join(F.broadcast(weights), "event_type")
-        .agg(r6(F.sum(F.col("w") * F.abs(F.col("value")))).alias("weighted_score"))
+    w = F.element_at(wmap, F.col("event_type"))
+    return ev.agg(
+        r6(F.sum(w * F.abs(F.col("value")))).alias("weighted_score")
     )
 
 

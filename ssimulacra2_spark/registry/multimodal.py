@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ._util import load, r6
+from ._util import load, load_spread, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -112,7 +112,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches; ref analog: per-frame decode fan-out video.rs:407-456). The
     fake is deterministic arithmetic so the oracle can verify the full
     UDF round-trip, not just row counts."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     staged = docs.select("doc_id", F.octet_length(F.col("text")).alias("n_bytes"))
     return staged.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
 
@@ -207,7 +207,7 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     is correct — so the oracle verifies real binary parsing. Scale shape:
     two chained mapInPandas projections, no shuffle. Ref analog: container
     metadata probing before decode, video.rs:268-287."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))  # null payload -> 0 bytes
     dims = docs.select(
         "doc_id",
