@@ -268,11 +268,18 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split_leakage_guard reuses this pair engine and projects its split
     labels directly from doc_a/doc_b (they are deterministic hashes of
-    doc_id — no join back to the corpus needed)."""
+    doc_id — no join back to the corpus needed).
+
+    The signature table is CHECKPOINTED once: the probe and build sides
+    are two references to the same subtree, and without materialization
+    each re-executes the whole signature pipeline (the CTE-inlining
+    lesson again, this time at the DataFrame layer). O(docs) state,
+    AQE-rebalanced partitions."""
     S = _pair_salt(spark)
+    sk0 = _sigs_df(spark, sf_dir).hint("rebalance").localCheckpoint()
 
     def bands_long(side: str) -> DataFrame:
-        sk = _sigs_df(spark, sf_dir)
+        sk = sk0
         return sk.select(
             F.col("doc_id").alias(f"doc_{side}"),
             F.col("keys")[0].alias(f"k0_{side}"),
@@ -484,7 +491,15 @@ def _lsh_prod_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
        LINEAR, no pairs at all.
     """
     S = max(4, _pair_salt(spark) // 4)
-    sk = _sigs_df(spark, sf_dir, num_hashes=128, bands=16)
+    # checkpoint the signature table and the class table: sk is referenced
+    # by the n_docs branch and the class groupBy, and cls by FIVE separate
+    # subtrees (intra, both join sides, both key tables) — without
+    # materialization each reference re-ran the whole 128-permutation
+    # signature pipeline (measured: the full query cost ~5x the signature
+    # stage alone at both sf0.1 and sf1). Both are O(docs) state.
+    sk = _sigs_df(spark, sf_dir, num_hashes=128, bands=16).hint(
+        "rebalance"
+    ).localCheckpoint()
 
     # -- doc_a distinct count (linear) ------------------------------------
     from pyspark.sql.window import Window
@@ -500,8 +515,10 @@ def _lsh_prod_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- class table ------------------------------------------------------
-    cls = sk.groupBy("keys").agg(
-        F.min("doc_id").alias("cid"), F.count("*").alias("m")
+    cls = (
+        sk.groupBy("keys")
+        .agg(F.min("doc_id").alias("cid"), F.count("*").alias("m"))
+        .localCheckpoint()
     )
     intra = cls.agg(
         F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2), F.lit(0.0))

@@ -537,7 +537,10 @@ def _incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation are unchanged; identical rows to the oracle SQL."""
     from .dedup import _sigs_df
 
-    sk = _sigs_df(spark, sf_dir)
+    # checkpointed once: hist / incoming / newdocs are three references
+    # to this subtree, and each would otherwise re-run the signature
+    # pipeline (same multi-reference lesson as _lsh_prod_counts_df)
+    sk = _sigs_df(spark, sf_dir).hint("rebalance").localCheckpoint()
     bands = sk.select("doc_id", F.posexplode("keys").alias("band", "bkey"))
     hist = (
         bands.filter(F.col("doc_id") % 2 == 0).select("band", "bkey").distinct()
