@@ -621,7 +621,14 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id mod 2^31-1 so the multiplicative hash never overflows int64
     at 10^12-row scale."""
     docs = load(spark, sf_dir, "documents")
-    w = 1 + F.expr("CAST(substring(source, 4) AS INT)") % 4
+    # try_cast (ADVICE r05): a source id not shaped like 'srcN' must not
+    # kill the job under ANSI mode — it coalesces to the default weight
+    # bucket instead. Identical on every valid id, Spark-side only (the
+    # oracle text is untouched; DuckDB CAST never throws here on the
+    # 'srcN' contract the fixtures satisfy).
+    w = 1 + F.coalesce(
+        F.expr("TRY_CAST(substring(source, 4) AS INT)"), F.lit(0)
+    ) % 4
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs")).withColumn(
         "w", w.cast("double")
     )

@@ -95,7 +95,7 @@ def test_dochash_agrees_up_to_trillion_ids(spark):
     got = {r["doc_id"]: r["h"] for r in sdf.selectExpr("doc_id", expr + " AS h").collect()}
     con = duckdb.connect()
     for i in ids:
-        (h,) = con.execute(f"SELECT {expr}", []).fetchone() if False else con.execute(
+        (h,) = con.execute(
             "SELECT " + expr.replace("doc_id", "CAST($i AS BIGINT)"), {"i": i}
         ).fetchone()
         assert got[i] == h, i
