@@ -209,7 +209,7 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits before it, so the oracle only matches if the length-honoring walk
     is correct). Two chained mapInPandas projections, no shuffle — same
     scale shape as multimodal_png_meta."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
     dims = docs.select(
         "doc_id",
@@ -313,7 +313,7 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF word-alignment padding sits before it). Little-endian sibling of
     multimodal_png_meta / multimodal_jpeg_meta; two chained mapInPandas
     projections, no shuffle."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
     dims = docs.select(
         "doc_id",
@@ -830,7 +830,7 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit durations above 2^32). Two chained mapInPandas projections,
     zero shuffle; at 100 TB this is the metadata-extraction scan shape
     (reference analog: the container probe before decode, video.rs:41-66)."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     nb = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
     dims = docs.select(
         "doc_id",
