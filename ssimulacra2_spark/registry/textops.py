@@ -121,7 +121,13 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     ws_tokens = F.size(F.filter(F.split(text, " +"), lambda t: t != ""))
-    pieces = F.size(F.filter(F.split(text, "[^a-zA-Z0-9]+"), lambda t: t != ""))
+    # identical count to filter(split(text, '[^a-zA-Z0-9]+'), t -> t != '')
+    # — maximal alnum runs — but regexp_extract_all is a codegen expression
+    # while the negated-class split churns allocations and the higher-order
+    # filter evaluates interpreted: interleaved A/B at sf1/32c measured
+    # 2.58 s -> 0.35 s for this expression alone. The ' +' split form is NOT
+    # rewritten: measured slightly faster than regexp_extract_all('[^ ]+').
+    pieces = F.size(F.regexp_extract_all(text, F.lit("[a-zA-Z0-9]+"), 0))
     bpe_est = F.ceil(F.length(text) / 4.0)
     return docs.select(
         "doc_id",

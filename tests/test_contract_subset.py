@@ -66,6 +66,10 @@ SUBSET = [
     "perplexity_proxy",
     "ft_hash_classifier",
     "corpus_rollup",
+    # r06: word_pieces rewritten to regexp_extract_all (codegen) — the
+    # oracle keeps the list_filter/regexp_split form, so this row pins the
+    # two expressions equal
+    "token_count",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -348,3 +348,26 @@ def test_rg_dc_gain_across_sigmas():
         x[n // 2] = 1.0
         y = rg_smooth_series(x, sigma)
         assert abs(y.sum() - 1.0) < 5e-3, sigma
+
+
+# --------------------------------------------------------------------------
+# token_count word_pieces: regexp_extract_all('[a-zA-Z0-9]+') count ==
+# filter(split('[^a-zA-Z0-9]+'), t -> t != '') count (r06 codegen rewrite)
+# --------------------------------------------------------------------------
+
+
+def test_word_pieces_regexp_equals_split_filter(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        "", " ", "a", "  a  ", "a b", "!!!", "!a!b!", "a!b!c!", "...a1B2c3...",
+        "tab\tsep", "nl\nsep", "héllo wörld", "日本語 text", "a-b_c.d",
+        "x" * 500, ("ab! " * 200).strip(), "1!2@3#4$5%6^7&8*9(0)",
+    ]
+    df = spark.createDataFrame([(s,) for s in rows], ["text"])
+    out = df.select(
+        F.size(F.filter(F.split("text", "[^a-zA-Z0-9]+"), lambda t: t != "")).alias("hof"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z0-9]+"), 0)).alias("re"),
+    ).collect()
+    for r in out:
+        assert r.hof == r.re, r
