@@ -247,7 +247,13 @@ def _pair_salt(spark: SparkSession) -> int:
     return max(8, spark.sparkContext.defaultParallelism)
 
 
-def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_pairs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    sk0: DataFrame | None = None,
+    probe_pred=None,
+    build_pred=None,
+) -> DataFrame:
     """DISTINCT candidate pairs at the demo config (2 bands) with no
     pair-level shuffle and no unsplittable hot key.
 
@@ -274,22 +280,33 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two references to the same subtree, and without materialization
     each re-executes the whole signature pipeline (the CTE-inlining
     lesson again, this time at the DataFrame layer). O(docs) state,
-    AQE-rebalanced partitions."""
-    S = _pair_salt(spark)
-    sk0 = _sigs_df(spark, sf_dir).hint("rebalance").localCheckpoint()
+    AQE-rebalanced partitions.
 
-    def bands_long(side: str) -> DataFrame:
+    probe_pred / build_pred (each a fn: column-name -> boolean Column on
+    doc_id) pre-filter the respective join side. A caller that only wants
+    pairs whose two docs fall in DISJOINT doc classes (split_leakage_guard:
+    train x test) can run one join per direction instead of filtering the
+    full pair output: the probe loop then does |A_bucket| x |B_bucket|
+    comparisons per bucket instead of |bucket|^2 (guide §3.2 — pre-filter
+    the join sides, not the join output)."""
+    S = _pair_salt(spark)
+    if sk0 is None:
+        sk0 = _sigs_df(spark, sf_dir).hint("rebalance").localCheckpoint()
+
+    def bands_long(side: str, pred) -> DataFrame:
         sk = sk0
+        if pred is not None:
+            sk = sk.filter(pred("doc_id"))
         return sk.select(
             F.col("doc_id").alias(f"doc_{side}"),
             F.col("keys")[0].alias(f"k0_{side}"),
             F.posexplode("keys").alias("band", f"bkey_{side}"),
         )
 
-    a = bands_long("a").withColumn(
+    a = bands_long("a", probe_pred).withColumn(
         "salt", F.pmod(F.xxhash64("doc_a"), F.lit(S)).cast("int")
     )
-    b = bands_long("b").withColumn(
+    b = bands_long("b", build_pred).withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
     )
     cond = (

@@ -716,23 +716,39 @@ def _split_leakage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1.0 mega bucket through one task and then two pair-table joins:
     792 s), and the split labels are PROJECTED from doc_a/doc_b — split
     is a deterministic hash of doc_id, so joining the pair table back to
-    `documents` twice bought nothing. Identical rows to the oracle SQL."""
-    from .dedup import _lsh_pairs_df
+    `documents` twice bought nothing.
 
-    def split_of(col: str):
-        return F.when(
-            F.expr(f"({_dochash(374761393, 10).replace('doc_id', col)}) = 0"),
-            F.lit("test"),
-        ).otherwise(F.lit("train"))
+    Cross-split pruning INSIDE the join (guide §3.2): only pairs whose
+    docs land in different splits are declared, and split is a
+    deterministic doc_id hash — so instead of generating every candidate
+    pair and filtering ~82% away, run the pair join once per direction
+    with each side pre-filtered (train-probe x test-build, then
+    test-probe x train-build). Every cross-split pair has exactly one
+    (smaller-id side, larger-id side) split assignment, so the union is
+    exactly the filtered pair set; per bucket the probe loop now does
+    |train| x |test| comparisons instead of |bucket|^2 (~5.5x fewer at a
+    10% test rate). The signature table is checkpointed once and shared
+    by both directions. Identical rows to the oracle SQL."""
+    from .dedup import _lsh_pairs_df, _sigs_df
 
-    pairs = _lsh_pairs_df(spark, sf_dir)
-    out = pairs.select(
-        "doc_a",
-        "doc_b",
-        split_of("doc_a").alias("split_a"),
-        split_of("doc_b").alias("split_b"),
+    def is_test(col: str):
+        return F.expr(f"({_dochash(374761393, 10).replace('doc_id', col)}) = 0")
+
+    def is_train(col: str):
+        return ~is_test(col)
+
+    sk0 = _sigs_df(spark, sf_dir).hint("rebalance").localCheckpoint()
+    tr_te = _lsh_pairs_df(
+        spark, sf_dir, sk0=sk0, probe_pred=is_train, build_pred=is_test
+    ).select(
+        "doc_a", "doc_b", F.lit("train").alias("split_a"), F.lit("test").alias("split_b")
     )
-    return out.filter(F.col("split_a") != F.col("split_b"))
+    te_tr = _lsh_pairs_df(
+        spark, sf_dir, sk0=sk0, probe_pred=is_test, build_pred=is_train
+    ).select(
+        "doc_a", "doc_b", F.lit("test").alias("split_a"), F.lit("train").alias("split_b")
+    )
+    return tr_te.unionByName(te_tr)
 
 
 QUERIES["split_leakage_guard"] = _split_leakage_df

@@ -371,3 +371,40 @@ def test_word_pieces_regexp_equals_split_filter(spark):
     ).collect()
     for r in out:
         assert r.hof == r.re, r
+
+
+# --------------------------------------------------------------------------
+# split_leakage_guard r06 rewrite: per-direction side-filtered pair joins
+# (train-probe x test-build  U  test-probe x train-build) == full pair set
+# filtered to cross-split pairs
+# --------------------------------------------------------------------------
+
+
+def test_side_filtered_pair_union_equals_filtered_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from ssimulacra2_spark.registry.dedup import _lsh_pairs_df
+    from ssimulacra2_spark.registry.webops import _dochash, _split_leakage_df
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def is_test(col):
+        return F.expr(f"({_dochash(374761393, 10).replace('doc_id', col)}) = 0")
+
+    full = _lsh_pairs_df(spark, sf_dir).filter(
+        is_test("doc_a") != is_test("doc_b")
+    )
+    expected = {(r.doc_a, r.doc_b) for r in full.collect()}
+    # one job: re-derive each emitted row's labels from the hash split
+    got = (
+        _split_leakage_df(spark, sf_dir)
+        .withColumn("a_is_test", is_test("doc_a"))
+        .withColumn("b_is_test", is_test("doc_b"))
+        .collect()
+    )
+    assert {(r.doc_a, r.doc_b) for r in got} == expected
+    assert len(got) == len(expected)  # each pair emitted exactly once
+    for r in got:  # labels consistent with the hash split
+        assert (r.split_a == "test") == r.a_is_test
+        assert (r.split_b == "test") == r.b_is_test
+        assert r.split_a != r.split_b
