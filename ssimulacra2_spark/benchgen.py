@@ -90,9 +90,20 @@ def stage_pair(
     conversations destroys the dictionary/RLE runs parquet and shuffle
     compression feed on and the pre-sorted runs every downstream
     (conv, ...) sort exploits. Clustered-but-skewed beats
-    balanced-but-scattered; at warehouse scale the answer is an Iceberg
-    writer clustered by bucket(conv_id) with a target file size, which
-    this layout emulates.
+    balanced-but-scattered.
+
+    The shipped layout is the middle ground: cluster by
+    (conv_id, turn_idx div chunk) with chunk sized so only conversations
+    larger than ~1/(4*parallelism) of the corpus are split, then sort each
+    output partition by (conv_id, turn_idx). Ordinary conversations stay
+    whole (chunk >> their length), so dictionary/RLE runs and the
+    pre-sorted (conv, turn) order inside every file are preserved; only a
+    giant conversation is cut into file-sized sorted slices. Every
+    downstream consumer already exchanges on (conv, chunk)-refined keys
+    (order_unique, drift, salted_conv_agg), so no check relies on
+    whole-conversation files. At warehouse scale this is an Iceberg writer
+    clustered by bucket(conv_id, turn_bucket) with a target file size,
+    which this layout emulates.
 
     layout="bucketed" writes BOTH sides hash-bucketed by conv_id (sorted
     by (conv_id, turn_idx) within buckets) through TableIO.write_snapshot:
@@ -112,8 +123,23 @@ def stage_pair(
         ref = io.read_snapshot(spark, ref_path)
         io.write_snapshot(distort(ref), cand_path, **kw)
         return ref, io.read_snapshot(spark, cand_path)
-    make_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(ref_path)
+    par = spark.sparkContext.defaultParallelism
+    # split threshold: a conversation above n_turns/(4*par) rows would make
+    # its file a >1.25x straggler for every scan stage; slice it into
+    # chunk-row runs. Derived from corpus size and parallelism, no local
+    # constant (at 100 TB/1000s of cores the same rule splits only convs
+    # that would actually stall a scan slot).
+    chunk = max(1024, n_turns // (4 * par))
+    ckey = F.floor(F.col("turn_idx") / F.lit(chunk))
+    (
+        make_transcripts(spark, n_turns, n_convs)
+        .repartition(par, "conv_id", ckey)
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .parquet(ref_path)
+    )
     ref = spark.read.parquet(ref_path)
+    # distort is row-local: cand inherits ref's balanced clustered layout
     distort(ref).write.mode("overwrite").parquet(cand_path)
     return ref, spark.read.parquet(cand_path)
 
