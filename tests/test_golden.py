@@ -70,3 +70,34 @@ def test_drift_scores_frozen(golden, engine_out):
     assert set(got) == set(golden["drift_scores"])
     for pid, want in golden["drift_scores"].items():
         assert math.isclose(got[pid], want, rel_tol=1e-9), (pid, got[pid], want)
+
+
+def test_graph_reuse_recomputes(spark, synth_tables, golden):
+    """Compiled check-graph reuse must cache PLANS, never data: a second
+    run() with identical inputs returns the same DataFrame objects (hit),
+    and after clearCache() re-executing them recomputes every violation
+    from the inputs — values identical to a cold build."""
+    from ssimulacra2_spark.plans.suite import ValidationSuite
+
+    t = synth_tables
+    ref = t["ref"].drop("partition_id")
+    cand = t["cand"].drop("partition_id")
+    ValidationSuite._graph_cache.clear()
+    v1, x1 = ValidationSuite(t["cfg"]).run(spark, ref, cand)
+    cold = sorted(map(tuple, x1.collect()))
+    spark.catalog.clearCache()
+    v2, x2 = ValidationSuite(t["cfg"]).run(spark, ref, cand)
+    assert v2 is v1 and x2 is x1  # plan-level hit
+    assert sorted(map(tuple, x2.collect())) == cold  # data recomputed, equal
+    # a different cfg or a different input object must rebuild
+    from dataclasses import replace
+
+    v3, _ = ValidationSuite(replace(t["cfg"], min_rows_per_partition=1)).run(
+        spark, ref, cand
+    )
+    assert v3 is not v1
+    ref2 = ref.select(ref.columns)
+    v4, _ = ValidationSuite(t["cfg"]).run(spark, ref2, cand)
+    assert v4 is not v1
+    ValidationSuite._graph_cache.clear()
+    spark.catalog.clearCache()
