@@ -535,21 +535,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (half-up adds <= 5e-7, the EPS6 nudge 5.01e-8); rounding is then
         # applied only to this sparse candidate set, exactly as before
         pre_thr = tau - 1e-6
-        # row-blocked accumulation: the accumulator stays cache-resident
-        # across the 64 dimension passes instead of sweeping an n x |J|
-        # matrix through memory 64 times
-        rb = max(32, (1 << 17) // max(1, len(J)))
+        # BLAS prefilter + exact sequential recompute: the dense n x |J|
+        # cosine matrix is computed with dgemm (summation order
+        # unspecified, error <= d*ulp ~ 1.4e-14 for unit vectors), the
+        # prefilter margin is widened by 1e-9 >> that error so the
+        # candidate superset provably contains every pair the sequential
+        # prefilter would keep, and the VALUE that reaches rounding is
+        # recomputed for the sparse candidates with the same
+        # dimension-sequential accumulation as the Catalyst fold — the
+        # declared result is therefore bit-identical to the pure-loop
+        # form (pinned by tests/test_properties.py::
+        # test_semdedup_blas_prefilter_matches_fold). Row-blocked so the
+        # dgemm output stays allocation-bounded.
+        rb = max(32, (1 << 20) // max(1, len(J)))
         cka, ckb, crr = [], [], []
         for r0 in range(0, n, rb):
             r1 = min(r0 + rb, n)
-            Cb = np.zeros((r1 - r0, len(J)))
-            for k in range(d):
-                Cb += np.outer(NXT[k, r0:r1], NXTj[k])
-            pre = (Cb >= pre_thr) & (ids[r0:r1, None] < idsj[None, :])
+            Cb = NX[r0:r1] @ NXTj
+            pre = (Cb >= pre_thr - 1e-9) & (ids[r0:r1, None] < idsj[None, :])
             ii, jj = np.nonzero(pre)
             if not len(ii):
                 continue
-            R = r6_1d(Cb[ii, jj] + eps)
+            # exact fold-order dot for the candidates only
+            Xi = NX[r0 + ii]
+            Xj = NXTj[:, jj]
+            C = np.zeros(len(ii))
+            for k in range(d):
+                C += Xi[:, k] * Xj[k]
+            R = r6_1d(C + eps)
             keep = R >= tau
             if keep.any():
                 cka.append(ids[r0:r1][ii[keep]])

@@ -408,3 +408,127 @@ def test_side_filtered_pair_union_equals_filtered_pairs(spark):
         assert (r.split_a == "test") == r.a_is_test
         assert (r.split_b == "test") == r.b_is_test
         assert r.split_a != r.split_b
+
+
+# --------------------------------------------------------------------------
+# SemDeDup BLAS prefilter + exact recompute == pure sequential fold
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_blas_prefilter_matches_fold(spark, tmp_path):
+    """dedup_semantic's dgemm prefilter (margin-widened) with exact
+    dimension-sequential recompute of the sparse candidates must produce
+    BIT-identical output to a pure sequential reference — including on
+    cosines engineered to land within ~1e-6 of the tau threshold and of
+    half-up rounding boundaries, where a prefilter that lost candidates
+    or a value that reached rounding via BLAS would flip flags."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ssimulacra2_spark.registry.ivf import CENTROIDS
+    from ssimulacra2_spark.registry.webops import _SEM_TAU, dedup_semantic
+
+    rng = np.random.default_rng(7)
+    d = len(CENTROIDS[0])
+    vecs: list[np.ndarray] = []
+    # clusters of near-duplicates around each centroid (high cosines)
+    for c in CENTROIDS[:3]:
+        base = np.asarray(c, dtype=np.float64) + rng.normal(0, 0.05, d)
+        for _ in range(40):
+            vecs.append(base * rng.uniform(0.5, 2.0) + rng.normal(0, 1e-4, d))
+    # adversarial pairs: cosine dense around tau +- 5e-6 (the rounding
+    # boundary band). Rotated vectors must land in the SAME k-means cell
+    # as the anchor to be compared at all, so candidate directions are
+    # filtered by the same argmin the query uses.
+    C = np.asarray(CENTROIDS, dtype=np.float64)
+    c0n = float(np.linalg.norm(C[0]))
+    anchor = C[0] / c0n
+
+    def cell_of(x: np.ndarray) -> int:
+        dist = np.sum(C * C, axis=1) - 2.0 * (C @ x)
+        return int(np.argmin(dist))
+
+    added = 0
+    for _ in range(4000):
+        if added >= 60:
+            break
+        perp = rng.normal(0, 1, d)
+        perp -= anchor * (perp @ anchor)
+        perp /= np.linalg.norm(perp)
+        cth = _SEM_TAU + (added - 30) * 2.5e-7
+        w = (cth * anchor + np.sqrt(max(0.0, 1 - cth * cth)) * perp) * c0n
+        if cell_of(w) != cell_of(anchor * c0n):
+            continue
+        vecs.append(w)
+        vecs.append(anchor * c0n * rng.uniform(0.95, 1.05))
+        added += 1
+    assert added >= 20, f"fixture: only {added} in-cell boundary vectors"
+    X32 = np.stack(vecs).astype(np.float32)
+    ids = np.arange(len(X32), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": list(X32),
+            "label": np.zeros(len(X32), dtype=np.int32),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r.vec_dup, r.cell, r.keeper, r.max_cosine)
+        for r in dedup_semantic(spark, str(tmp_path)).collect()
+    }
+
+    # ---- pure sequential reference (no BLAS anywhere) -----------------
+    X = X32.astype(np.float64)
+    # cell assignment: argmin ||x||^2 - 2<x,c> + ||c||^2 over centroid
+    # structs, tie-break min index (same expression as _cell_expr)
+    cells = []
+    for x in X:
+        best = None
+        for i, c in enumerate(CENTROIDS):
+            c2 = sum(v * v for v in c)
+            dist = c2 - 2.0 * float(np.sum(x * np.asarray(c))) 
+            if best is None or dist < best[0] - 1e-12:
+                best = (dist, i)
+        cells.append(best[1])
+    cells = np.asarray(cells)
+
+    def r6(y: float) -> float:
+        return float(Decimal(repr(float(y))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    eps = 5.0123e-8
+    n_boundary_pairs: list[float] = []
+    want: dict[int, tuple[int, int, float]] = {}
+    for cell in np.unique(cells):
+        idx = np.nonzero(cells == cell)[0]
+        if len(idx) < 2:
+            continue
+        Xc = X[idx]
+        n2 = np.zeros(len(idx))
+        for k in range(d):
+            n2 += Xc[:, k] * Xc[:, k]
+        NX = Xc / np.sqrt(n2)[:, None]
+        for a in range(len(idx)):
+            for b in range(len(idx)):
+                ia, ib = int(ids[idx[a]]), int(ids[idx[b]])
+                if not ia < ib:
+                    continue
+                acc = 0.0
+                for k in range(d):
+                    acc += NX[a, k] * NX[b, k]
+                R = r6(acc + eps)
+                if abs(R - _SEM_TAU) < 5e-6:
+                    n_boundary_pairs.append(R)
+                if R >= _SEM_TAU:
+                    cur = want.get(ib)
+                    if cur is None:
+                        want[ib] = (int(cell), ia, R)
+                    else:
+                        want[ib] = (int(cell), min(cur[1], ia), max(cur[2], R))
+    want_set = {(vd, c, kp, mc) for vd, (c, kp, mc) in want.items()}
+    assert got == want_set
+    assert len(want_set) > 50  # the fixture actually exercises the path
+    assert n_boundary_pairs  # pairs were evaluated inside the rounding band
