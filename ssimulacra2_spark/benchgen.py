@@ -124,6 +124,15 @@ def stage_pair(
         io.write_snapshot(distort(ref), cand_path, **kw)
         return ref, io.read_snapshot(spark, cand_path)
     par = spark.sparkContext.defaultParallelism
+    # file count stays at ONE file per core: a 4-waves-per-core variant
+    # (n_files = 4*par, to cut the last scan wave's tail) was built and
+    # MEASURED at 80M/32c and LOST — 117-179 s suite wall vs a stable
+    # 100-104 s for this layout (2 interleaved reps each): more, smaller
+    # single-row-group files multiply per-task file-open + first-touch
+    # fault events, which this VM serializes (see
+    # tools/vm_pagefault_ceiling.py), and the wave-tail saving never
+    # materializes. At warehouse scale file size is the equivalent knob
+    # and is owned by the writer's target-file-size, not the core count.
     # split threshold: a conversation above n_turns/(4*par) rows would make
     # its file a >1.25x straggler for every scan stage; slice it into
     # chunk-row runs. Derived from corpus size and parallelism, no local
